@@ -1,0 +1,186 @@
+"""End-to-end kernel tests on tiny hand-computed documents.
+
+Every expected CSV below was derived by hand from the reference's algorithm
+definitions (file:line cited inline), giving byte-level pins that are
+independent of the kernel implementation.
+"""
+
+from ocr_table_extractor_to_csv_spark.kernel import extract_document
+from ocr_table_extractor_to_csv_spark.kernel.hocr import scan_tokens
+from ocr_table_extractor_to_csv_spark.kernel.lines import build_lines
+
+
+def _doc(words, page_attr='title="bbox 0 0 1700 2200"'):
+    spans = "".join(
+        f'<span class="ocrx_word" title="bbox {x1} {y1} {x2} {y2}">{t}</span>'
+        for (t, x1, y1, x2, y2) in words
+    )
+    return f'<?xml version="1.0"?><html><body><div class="ocr_page" {page_attr}>{spans}</div></body></html>'.encode()
+
+
+def test_generic_two_by_two():
+    html = _doc(
+        [
+            ("Name", 100, 100, 150, 130),
+            ("Val", 400, 100, 440, 130),
+            ("foo", 100, 160, 130, 190),
+            ("9", 400, 160, 410, 190),
+        ]
+    )
+    res = extract_document(html, layout="generic")
+    # x-profile zero run 150..399 -> cut 274; y-profile cut 144
+    # header = first row (rows.py:146)
+    assert res.csv == b"\xef\xbb\xbfName,Val\r\nfoo,9\r\n"
+    assert res.header == ["Name", "Val"]
+    assert res.n_rows == 1 and res.n_cols == 2
+    assert res.main_text == "Name Val\nfoo 9"
+
+
+def test_financial_label_value_merge():
+    html = _doc(
+        [
+            ("Activo", 100, 100, 160, 130),
+            ("Caja", 100, 160, 140, 190),
+            ("1,234", 400, 160, 450, 190),
+            ("(56)", 600, 160, 640, 190),
+        ]
+    )
+    res = extract_document(html, layout="financial")
+    # label-only line merges into the following value line
+    # (rows.py:83-134: gap 30 <= int(1.3*30)=39, cur_num==0, next num>0)
+    assert res.csv == b'\xef\xbb\xbfCuenta,Valor_1,Valor_2\r\nActivo Caja,"1,234",(56)\r\n'
+
+
+def test_financial_postprocess_rules():
+    html = _doc(
+        [
+            # section line (ends with ':')
+            ("Pasivos:", 100, 100, 180, 130),
+            # ordinary row with a '-' value -> normalized to 0
+            ("Deuda", 100, 300, 150, 330),
+            ("-", 500, 300, 509, 330),
+            ("245", 700, 300, 727, 330),
+            # subtotal row: two numbers, no label -> "Total Pasivos"
+            ("1,000", 500, 500, 545, 530),
+            ("2,000", 700, 500, 745, 530),
+            # footer -> dropped
+            ("las", 100, 700, 127, 730),
+            ("notas", 140, 700, 185, 730),
+            ("adjuntas", 200, 700, 272, 730),
+        ]
+    )
+    res = extract_document(html, layout="financial")
+    body = res.csv.decode("utf-8-sig").split("\r\n")
+    assert body[0] == "Cuenta,Valor_1,Valor_2"
+    assert body[1] == "Pasivos:,,"
+    assert body[2] == "Deuda,0,245"
+    assert body[3] == 'Total Pasivos,"1,000","2,000"'
+    assert body[4] == ""  # trailing CRLF
+
+
+def test_professional_hierarchy_and_truncation():
+    html = _doc(
+        [
+            ("Parent", 40, 100, 94, 130),
+            ("item", 120, 160, 156, 190),
+            ("77", 500, 160, 518, 190),
+        ]
+    )
+    res = extract_document(html, layout="professional")
+    # hand-derived: 3 chained intervals, hierarchy depth 1, header = first
+    # hier row ["Parent","",""], body row prefixed + truncated to 3 cols
+    assert res.csv == b"\xef\xbb\xbf,,\r\nParent,,item\r\n"
+
+
+def test_empty_variants_byte_semantics():
+    # page with zero words -> BOM-only (main.py:100-103)
+    empty = b'<?xml version="1.0"?><html><body><div class="ocr_page" title="bbox 0 0 100 100"></div></body></html>'
+    for layout in ("generic", "dynamic", "financial", "professional"):
+        assert extract_document(empty, layout=layout).csv == b"\xef\xbb\xbf"
+    # blank-text words only -> same
+    blank = _doc([("   ", 10, 10, 40, 30)])
+    assert extract_document(blank, layout="generic").csv == b"\xef\xbb\xbf"
+
+
+def test_single_token_header_only():
+    html = _doc([("solo", 100, 100, 136, 130)])
+    res = extract_document(html, layout="generic")
+    # single column (no x gaps), single row; header = that row, body empty
+    assert res.csv == b"\xef\xbb\xbfsolo\r\n"
+
+
+def test_bbox_crop_filters_tokens():
+    words = [
+        ("inside", 100, 300, 160, 330),
+        ("noise", 100, 10, 150, 40),  # above the crop box
+    ]
+    html = _doc(words)
+    tok = scan_tokens(html, table_bbox=(50, 250, 1650, 2000))
+    assert list(tok.text) == ["inside"]
+
+
+def test_line_id_vs_inference_equivalence():
+    # same geometry, one doc with ocr_line nesting, one without
+    w = [("a", 100, 100, 120, 130), ("b", 300, 100, 320, 130), ("c", 100, 160, 120, 190)]
+    plain = _doc(w)
+    nested = (
+        '<?xml version="1.0"?><html><body><div class="ocr_page" title="bbox 0 0 1700 2200">'
+        '<span class="ocr_line" id="l1" title="bbox 100 100 320 130">'
+        '<span class="ocrx_word" title="bbox 100 100 120 130">a</span>'
+        '<span class="ocrx_word" title="bbox 300 100 320 130">b</span></span>'
+        '<span class="ocr_line" id="l2" title="bbox 100 160 120 190">'
+        '<span class="ocrx_word" title="bbox 100 160 120 190">c</span></span>'
+        "</div></body></html>"
+    ).encode()
+    r1 = extract_document(plain, layout="generic")
+    r2 = extract_document(nested, layout="generic")
+    assert r1.csv == r2.csv
+
+
+def test_line_id_fallback_name_consumes_index():
+    # a line with no parsable bbox still consumes a document-order index
+    # (parser.py:33-40: enumerate over all ocr_line spans)
+    html = (
+        '<?xml version="1.0"?><html><body><div class="ocr_page" title="bbox 0 0 500 500">'
+        '<span class="ocr_line" title="no box here">'
+        '<span class="ocrx_word" title="bbox 10 10 30 30">x</span></span>'
+        '<span class="ocr_line" title="bbox 0 50 100 90">'
+        '<span class="ocrx_word" title="bbox 10 50 30 90">y</span></span>'
+        "</div></body></html>"
+    ).encode()
+    tok = scan_tokens(html)
+    # word 'x' gets no line_id (its line had no bbox); 'y' maps to the
+    # second line whose fallback id is page_1_line_2
+    assert tok.line_id[0] is None
+    assert tok.line_id[1] == "page_1_line_2"
+
+
+def test_multipage_line_ordering():
+    html = (
+        '<?xml version="1.0"?><html><body>'
+        '<div class="ocr_page" title="bbox 0 0 500 500">'
+        '<span class="ocrx_word" title="bbox 10 400 50 430">p1</span></div>'
+        '<div class="ocr_page" title="bbox 0 0 500 500">'
+        '<span class="ocrx_word" title="bbox 10 10 50 40">p2</span></div>'
+        "</body></html>"
+    ).encode()
+    tok = scan_tokens(html)
+    lines = build_lines(tok)
+    # page-major order even though page 2's token has a smaller y
+    assert [(ln.page, tok.text[ln.idx[0]]) for ln in lines] == [(1, "p1"), (2, "p2")]
+
+
+def test_overlap_band_expansion():
+    # token B overlaps A by >= 50% of the smaller height -> same line, and
+    # the band expands so C (overlapping only B's extent) still joins
+    html = _doc(
+        [
+            ("A", 0, 100, 20, 130),
+            ("B", 30, 115, 50, 145),
+            ("C", 60, 130, 80, 160),  # overlap 15 / min-height 30 = 0.5
+        ]
+    )
+    tok = scan_tokens(html)
+    lines = build_lines(tok)
+    assert len(lines) == 1
+    assert [tok.text[i] for i in lines[0].idx] == ["A", "B", "C"]
