@@ -120,8 +120,11 @@ def extract_document(
         )
 
     if layout == "dynamic":
-        intervals, names = infer_numeric_columns(tok, lines)
-        recs = assign_dynamic(tok, lines, intervals)
+        from .layouts import compute_line_spans
+
+        spans_per_line = compute_line_spans(tok, lines)
+        intervals, names = infer_numeric_columns(tok, lines, spans_per_line=spans_per_line)
+        recs = assign_dynamic(tok, lines, intervals, spans_per_line=spans_per_line)
         rows = merge_financial_rows(recs)
         if not rows:
             return ExtractResult(csv=empty_csv_bytes(), **base)

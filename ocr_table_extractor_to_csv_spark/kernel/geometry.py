@@ -141,6 +141,22 @@ def coerce_interval_count(
 # --------------------------------------------------------------------------
 
 
+def percentile_linear(sorted_vals: np.ndarray, q: float) -> float:
+    """np.percentile(..., method='linear') on an ALREADY SORTED 1-D array.
+
+    Direct lerp — identical result to np.percentile (same formula:
+    idx = q/100 * (n-1); v = a[floor] + frac * (a[ceil] - a[floor])) without
+    its ~90us generic dispatch; the kernel calls this once per line.
+    """
+    n = sorted_vals.shape[0]
+    idx = (q / 100.0) * (n - 1)
+    lo = int(idx)
+    hi = min(lo + 1, n - 1)
+    frac = idx - lo
+    a = float(sorted_vals[lo])
+    return a + frac * (float(sorted_vals[hi]) - a)
+
+
 def line_gap_quantile(x1: np.ndarray, x2: np.ndarray, q: float = 95.0) -> int:
     """P95 of positive inter-token gaps; max(12, int(p)); 18 when no gaps.
 
@@ -153,7 +169,7 @@ def line_gap_quantile(x1: np.ndarray, x2: np.ndarray, q: float = 95.0) -> int:
     gaps = gaps[gaps > 0]
     if gaps.size == 0:
         return 18
-    return max(12, int(np.percentile(gaps.astype(float), q)))
+    return max(12, int(percentile_linear(np.sort(gaps.astype(np.float64)), q)))
 
 
 def merge_spans(

@@ -23,6 +23,7 @@ from .geometry import (
     merge_spans,
     nearest_interval_by_edges,
     nearest_interval_inside_zero,
+    percentile_linear,
     profile_intervals,
     zero_run_cuts,
     coverage_profile,
@@ -129,20 +130,24 @@ def assign_words_to_columns(
     cell text joined with spaces in x order (assign.py:6-28)."""
     if not columns:
         return []
+    # vectorized first-inside-else-nearest assignment: identical to the
+    # reference's per-token scan (assign.py:18-24) because intervals are
+    # sorted; "first inside" = lowest interval index with L<=xc<=R, and the
+    # fallback argmin keeps np.argmin's first-min tie rule.
+    L = np.asarray([c[0] for c in columns], dtype=np.float64)
+    R = np.asarray([c[1] for c in columns], dtype=np.float64)
     recs: List[Rec] = []
     for ln in lines:
         buckets: List[List[str]] = [[] for _ in columns]
         xcs = (tok.x1[ln.idx] + tok.x2[ln.idx]) / 2.0
+        inside = (L[None, :] <= xcs[:, None]) & (xcs[:, None] <= R[None, :])
+        any_inside = inside.any(axis=1)
+        first_inside = inside.argmax(axis=1)
+        dists = np.minimum(np.abs(xcs[:, None] - L[None, :]), np.abs(xcs[:, None] - R[None, :]))
+        nearest = dists.argmin(axis=1)
+        target = np.where(any_inside, first_inside, nearest)
         for k, i in enumerate(ln.idx):
-            xc = float(xcs[k])
-            j = None
-            for ci, (L, R) in enumerate(columns):
-                if L <= xc <= R:
-                    j = ci
-                    break
-            if j is None:
-                j = nearest_interval_by_edges(xc, columns)
-            buckets[j].append(tok.text[i])
+            buckets[int(target[k])].append(tok.text[i])
         recs.append(
             Rec(
                 page=ln.page,
@@ -187,13 +192,19 @@ def merge_lines_into_rows(
     cuts = sorted(set([origin] + zero_run_cuts(profile, origin, 2) + [top]))
     row_iv = [(t, b) for t, b in zip(cuts, cuts[1:]) if b - t > 5]
 
+    # vectorized interval lookup — exact because intervals are sorted,
+    # disjoint, and half-open (top <= yc < bot, rows.py:55-61); records in
+    # dropped short intervals (or past the last bot) stay unassigned
     grouped: List[List[List[str]]] = [[] for _ in row_iv]
-    for r in recs:
-        yc = (r.y_top + r.y_bot) / 2
-        for i, (t, b) in enumerate(row_iv):
-            if t <= yc < b:
+    if row_iv:
+        tops = np.asarray([t for t, _ in row_iv], dtype=np.float64)
+        bots = np.asarray([b for _, b in row_iv], dtype=np.float64)
+        ycs = np.asarray([(r.y_top + r.y_bot) / 2 for r in recs], dtype=np.float64)
+        pos = np.searchsorted(tops, ycs, side="right") - 1
+        for k, r in enumerate(recs):
+            i = int(pos[k])
+            if i >= 0 and ycs[k] < bots[i]:
                 grouped[i].append(r.cells)
-                break
 
     out: List[List[str]] = []
     for members in grouped:
@@ -336,11 +347,11 @@ def postprocess_financial(
 # ===========================================================================
 
 
-def _span_centers_numeric(tok: TokenArrays, ln: Line) -> List[int]:
-    spans = _line_spans(tok, ln)
-    centers = [int((x1 + x2) // 2) for (x1, x2, txt) in spans if is_numeric_span_dynamic(txt)]
-    centers.sort()
-    return centers
+def compute_line_spans(tok: TokenArrays, lines: List[Line]):
+    """Quantile-gap span merge per line, computed ONCE and shared by the
+    whole dynamic path (the reference recomputes it in three places with
+    identical inputs: column_model.py:104, :62, assign_dynamic.py:55)."""
+    return [_line_spans(tok, ln) for ln in lines]
 
 
 def infer_numeric_columns(
@@ -349,6 +360,7 @@ def infer_numeric_columns(
     min_sep_px: int = 35,
     cut_quantile: float = 90.0,
     pad_px: int = 24,
+    spans_per_line=None,
 ) -> Tuple[List[Tuple[int, int]], Optional[List[str]]]:
     """Hybrid column model (column_model.py:84-201): modal numeric-span
     count over the bottom 70% picks K<=4 columns; per-position (rightmost,
@@ -358,7 +370,15 @@ def infer_numeric_columns(
     if not lines:
         return [], None
 
-    per_line: List[List[int]] = [_span_centers_numeric(tok, ln) for ln in lines]
+    if spans_per_line is None:
+        spans_per_line = compute_line_spans(tok, lines)
+    per_line: List[List[int]] = []
+    for spans in spans_per_line:
+        centers = [
+            int((x1 + x2) // 2) for (x1, x2, txt) in spans if is_numeric_span_dynamic(txt)
+        ]
+        centers.sort()
+        per_line.append(centers)
     ys = [ln.y1 for ln in lines]
     y_body = min(ys) + 0.30 * (max(ys) - min(ys))
     body_counts = [len(c) for ln, c in zip(lines, per_line) if ln.y1 >= y_body]
@@ -392,7 +412,11 @@ def infer_numeric_columns(
         if not allc:
             return [], None
         gaps = [b - a for a, b in zip(allc, allc[1:])]
-        p = float(np.percentile(np.asarray(gaps, dtype=float), cut_quantile)) if gaps else 0.0
+        p = (
+            percentile_linear(np.sort(np.asarray(gaps, dtype=np.float64)), cut_quantile)
+            if gaps
+            else 0.0
+        )
         thr = max(min_sep_px, int(p))
         cuts = [allc[0]]
         cuts += [(a + b) // 2 for a, b in zip(allc, allc[1:]) if (b - a) >= thr]
@@ -406,25 +430,34 @@ def infer_numeric_columns(
                 merged[-1] = (merged[-1][0], max(merged[-1][1], iv[1]))
         intervals = [(int(L - pad_px), int(R + pad_px)) for (L, R) in merged][:4]
 
-    names = _year_names_from_top(tok, lines, intervals) if intervals else None
+    names = (
+        _year_names_from_top(tok, lines, intervals, spans_per_line)
+        if intervals
+        else None
+    )
     return intervals, names
 
 
 def _year_names_from_top(
-    tok: TokenArrays, lines: List[Line], intervals: List[Tuple[int, int]]
+    tok: TokenArrays,
+    lines: List[Line],
+    intervals: List[Tuple[int, int]],
+    spans_per_line=None,
 ) -> Optional[List[str]]:
     """column_model.py:47-82 (wrapped in a blanket try/except there)."""
     if not intervals:
         return None
+    if spans_per_line is None:
+        spans_per_line = compute_line_spans(tok, lines)
     try:
         ys = [ln.y1 for ln in lines]
         if not ys:
             return None
         y_thr = min(ys) + 0.20 * (max(ys) - min(ys))
         votes: List[Tuple[int, str]] = []
-        for ln in lines:
+        for ln, spans in zip(lines, spans_per_line):
             if ln.y1 <= y_thr:
-                for (x1, x2, txt) in _line_spans(tok, ln):
+                for (x1, x2, txt) in spans:
                     m = YEAR_RE.search(txt)
                     if m:
                         xc = (x1 + x2) // 2
@@ -447,7 +480,10 @@ def _year_names_from_top(
 
 
 def assign_dynamic(
-    tok: TokenArrays, lines: List[Line], numeric_columns: List[Tuple[int, int]]
+    tok: TokenArrays,
+    lines: List[Line],
+    numeric_columns: List[Tuple[int, int]],
+    spans_per_line=None,
 ) -> List[Rec]:
     """assign_dynamic.py:38-72: label = text spans left of the first numeric
     column only; numeric spans fill nearest column FIRST-WINS."""
@@ -458,10 +494,11 @@ def assign_dynamic(
             recs.append(Rec(ln.page, ln.y1, ln.y2, [label], num_count=0))
         return recs
 
+    if spans_per_line is None:
+        spans_per_line = compute_line_spans(tok, lines)
     cols = sorted(numeric_columns, key=lambda ab: ab[0])
     first_L = cols[0][0]
-    for ln in lines:
-        spans = _line_spans(tok, ln)
+    for ln, spans in zip(lines, spans_per_line):
         nums = [s for s in spans if is_numeric_span_dynamic(s[2])]
         texts = [s for s in spans if not is_numeric_span_dynamic(s[2])]
         label = " ".join(txt for (x1, _x2, txt) in texts if x1 < first_L).strip()

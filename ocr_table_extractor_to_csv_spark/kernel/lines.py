@@ -38,17 +38,20 @@ class Line:
     line_id: object = None
 
 
-def _finish(tok: TokenArrays, page: int, members: List[int], line_id=None) -> Line:
-    m = np.asarray(members, dtype=np.int64)
-    order = np.argsort(tok.x1[m], kind="stable")
-    m = m[order]
+def _finish_lists(
+    x1l: List[int], y1l: List[int], x2l: List[int], y2l: List[int],
+    page: int, members: List[int], line_id=None,
+) -> Line:
+    # python-level sort/min/max: members are ~tens of ints, where list ops
+    # beat numpy scalar extraction by ~5x
+    members = sorted(members, key=x1l.__getitem__)
     return Line(
         page=page,
-        x1=int(tok.x1[m].min()),
-        y1=int(tok.y1[m].min()),
-        x2=int(tok.x2[m].max()),
-        y2=int(tok.y2[m].max()),
-        idx=m,
+        x1=min(x1l[i] for i in members),
+        y1=min(y1l[i] for i in members),
+        x2=max(x2l[i] for i in members),
+        y2=max(y2l[i] for i in members),
+        idx=np.asarray(members, dtype=np.int64),
         line_id=line_id,
     )
 
@@ -58,55 +61,63 @@ def build_lines(tok: TokenArrays) -> List[Line]:
     if n == 0:
         return []
 
-    if any(tok.line_id[i] is not None for i in range(n)):
+    x1l = tok.x1.tolist()
+    y1l = tok.y1.tolist()
+    x2l = tok.x2.tolist()
+    y2l = tok.y2.tolist()
+    pagel = tok.page.tolist()
+
+    if any(lid is not None for lid in tok.line_id):
         groups: Dict[Tuple[int, str], List[int]] = {}
-        yc = (tok.y1 + tok.y2) / 2.0
         for i in range(n):
             lid = tok.line_id[i]
             if not lid:
-                lid = f"inferred_{int(tok.page[i])}_{int(yc[i])}"
-            groups.setdefault((int(tok.page[i]), lid), []).append(i)
+                lid = f"inferred_{pagel[i]}_{int((y1l[i] + y2l[i]) / 2.0)}"
+            groups.setdefault((pagel[i], lid), []).append(i)
         lines = [
-            _finish(tok, page, members, line_id=lid)
+            _finish_lists(x1l, y1l, x2l, y2l, page, members, line_id=lid)
             for (page, lid), members in groups.items()
         ]
         lines.sort(key=lambda L: (L.page, L.y1, L.x1))
         return lines
 
-    # overlap-inference branch
+    # overlap-inference branch; sort by (page, yc, x1), stable
     yc = (tok.y1 + tok.y2) / 2.0
-    order = np.lexsort((tok.x1, yc, tok.page))  # sort by (page, yc, x1), stable
+    order = np.lexsort((tok.x1, yc, tok.page)).tolist()
 
     lines: List[Line] = []
+    first = order[0]
     current: List[int] = []
-    first = int(order[0])
-    cur_page = int(tok.page[first])
-    band_lo, band_hi = int(tok.y1[first]), int(tok.y2[first])
+    cur_page = pagel[first]
+    band_lo, band_hi = y1l[first], y2l[first]
 
     for i in order:
-        i = int(i)
-        if int(tok.page[i]) != cur_page:
+        if pagel[i] != cur_page:
             if current:
-                lines.append(_finish(tok, cur_page, current))
+                lines.append(_finish_lists(x1l, y1l, x2l, y2l, cur_page, current))
             current = [i]
-            cur_page = int(tok.page[i])
-            band_lo, band_hi = int(tok.y1[i]), int(tok.y2[i])
+            cur_page = pagel[i]
+            band_lo, band_hi = y1l[i], y2l[i]
             continue
-        t_lo, t_hi = int(tok.y1[i]), int(tok.y2[i])
-        inter = max(0, min(band_hi, t_hi) - max(band_lo, t_lo))
-        denom = max(1, min(band_hi - band_lo, t_hi - t_lo))
-        if inter / denom >= 0.5:
+        t_lo, t_hi = y1l[i], y2l[i]
+        inter = min(band_hi, t_hi) - max(band_lo, t_lo)
+        denom = min(band_hi - band_lo, t_hi - t_lo)
+        if denom < 1:
+            denom = 1
+        if inter > 0 and inter / denom >= 0.5:
             current.append(i)
-            band_lo = min(band_lo, t_lo)
-            band_hi = max(band_hi, t_hi)
+            if t_lo < band_lo:
+                band_lo = t_lo
+            if t_hi > band_hi:
+                band_hi = t_hi
         else:
             if current:
-                lines.append(_finish(tok, cur_page, current))
+                lines.append(_finish_lists(x1l, y1l, x2l, y2l, cur_page, current))
             current = [i]
             band_lo, band_hi = t_lo, t_hi
 
     if current:
-        lines.append(_finish(tok, cur_page, current))
+        lines.append(_finish_lists(x1l, y1l, x2l, y2l, cur_page, current))
 
     lines.sort(key=lambda L: (L.page, L.y1, L.x1))
     return lines

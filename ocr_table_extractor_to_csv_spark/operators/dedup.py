@@ -1,0 +1,163 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale notes (the 100 TB story):
+  * exact dedup is one hash-shuffle groupBy — map-side partial aggregation
+    makes it bandwidth-bound, not memory-bound;
+  * MinHash+LSH is the linear-cost near-dup path: explode shingles x seeds
+    (map-side), min-aggregate to signatures, band-hash, and only same-bucket
+    pairs are candidate-joined — never an all-pairs product;
+  * n-gram Jaccard all-pairs is intentionally restricted to a deterministic
+    sample (it is the verification oracle for LSH, not the scale path);
+  * SimHash packs a doc into one 32-bit int; near-dups differ in few bits.
+
+Hashing is md5-based (not xxhash64) so every operator has a bit-identical
+DuckDB twin for the correctness gate.
+
+Shared hash spec: h_seed(s) = int(substr(md5(s || '#' || seed), 1, 15), 16)
+                  (60-bit, positive, fits BIGINT in both engines)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+N_MINHASH = 16
+BAND_SIZE = 2  # 8 bands of 2 rows
+SIMHASH_BITS = 32
+
+
+def _md5_hash(col, seed_col):
+    """conv(substr(md5(s || '#' || seed),1,15),16,10) :: bigint."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit("#"), seed_col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup over the normalized-text fingerprint."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        documents.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams, '_'-joined.
+
+    Docs with < n tokens emit their full token join as the single shingle
+    (so short docs still participate).
+    """
+    toks = tokens_col(F.col("text"))
+    k = F.size(toks)
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), "_"),
+        ),
+    ).otherwise(F.array(F.array_join(toks, "_")))
+    return (
+        documents.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, sample_mod: int = 17) -> DataFrame:
+    """All-pairs Jaccard over a deterministic doc_id sample (oracle path)."""
+    sh = shingles(documents.where(F.pmod(F.col("doc_id"), F.lit(sample_mod)) == 0), n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 5
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, k: int = N_MINHASH) -> DataFrame:
+    """(doc_id, seed, minhash) — min over shingles of h_seed(shingle)."""
+    sh = shingles(documents, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    exploded = sh.select("doc_id", "shingle", seeds)
+    return exploded.groupBy("doc_id", "seed").agg(
+        F.min(_md5_hash(F.col("shingle"), F.col("seed"))).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, n: int = 3, k: int = N_MINHASH, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
+    sig = minhash_signatures(documents, n, k)
+    bands = sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
+    # collect_list has no order guarantee -> sort (seed, minhash) structs
+    # post-collect so the band key is deterministic under any partitioning
+    band_keys = bands.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("bkey")
+    )
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """32-bit SimHash over tokens (counted, not distinct).
+
+    Relational formulation (explode tokens x bits, sign-sum, pack) — exactly
+    SQL-expressible, and in Spark the double explode stays map-side until one
+    (doc_id)-keyed aggregation.
+    """
+    toks = documents.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    hashed = toks.select("doc_id", h.alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    per_bit = (
+        hashed.select("doc_id", "h", bit)
+        .withColumn(
+            "sign",
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("sign").alias("s"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)).alias(
+            "simhash"
+        )
+    )

@@ -1,0 +1,83 @@
+"""Pre-verify the driver's correctness gate: each queries() entry must match
+its oracle_sql() twin on the sf0.01 test tables (row count + schema-ish +
+value multiset).  This is the same comparison the driver runs, done locally
+so regressions never reach CORRECTNESS_r{N}.json."""
+
+import math
+from pathlib import Path
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(SF_DIR) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{round(v, 6):.6f}"
+            elif v is None:
+                v = "NULL"
+            else:
+                v = str(v)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    s_cols = sdf.columns
+
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    d_cols = [c[0] for c in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), f"{name}: row counts {len(s_rows)} vs {len(d_rows)}"
+    sn = normalize(s_rows, s_cols)
+    dn = normalize(d_rows, d_cols)
+    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_rows_only_queries_run(spark):
+    oracles = set(entry_mod.oracle_sql())
+    for name, q in entry_mod.queries().items():
+        if name in oracles:
+            continue
+        df = q(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"doc_id", "n_rows", "n_cols", "csv_md5", "text_md5"}
