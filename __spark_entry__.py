@@ -112,6 +112,48 @@ def _fixture_extract(spark: SparkSession, family: str) -> DataFrame:
     )
 
 
+def q_dataset_grid(spark, sf_dir):
+    """LayoutLM dataset builder over the synthesized grid pages; labels and
+    header are independently derivable in SQL from documents.text."""
+    from ocr_table_extractor_to_csv_spark.operators.dataset import build_examples
+
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    ex = build_examples(pages.select("doc_id", "url", "html"))
+    return ex.where(F.col("error").isNull()).select(
+        F.split(F.col("url"), "://")[1].cast("long").alias("doc_id"),
+        F.size("words").alias("n_words"),
+        F.md5(F.concat_ws(",", "labels")).alias("labels_md5"),
+        F.concat_ws(",", "table_header").alias("header_csv"),
+        F.col("header_index").alias("header_index"),
+    )
+
+
+ORACLE_DATASET_GRID = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN []::VARCHAR[]
+              ELSE list_transform(
+                     string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t[1:12])
+         END AS ts
+  FROM documents
+), ok AS (
+  SELECT doc_id, ts, CAST((len(ts) // 4) * 4 AS INT) AS n FROM toks WHERE len(ts) >= 4
+)
+SELECT doc_id,
+       n AS n_words,
+       md5(list_aggregate(
+         list_transform(generate_series(0, n - 1),
+           i -> CASE WHEN i < 4 THEN 'HEADER_COL_' || (i % 4)
+                     ELSE 'BODY_COL_' || (i % 4) END),
+         'string_agg', ',')) AS labels_md5,
+       ts[1] || ',' || ts[2] || ',' || ts[3] || ',' || ts[4] AS header_csv,
+       CAST(0 AS INT) AS header_index
+FROM ok
+"""
+
+
 def q_extract_fixture_generic(spark, sf_dir):
     return _fixture_extract(spark, "generic4")
 
@@ -446,6 +488,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_grid4": q_extract_grid4,
+        "dataset_grid": q_dataset_grid,
         "extract_fixture_generic": q_extract_fixture_generic,
         "extract_fixture_financial": q_extract_fixture_financial,
         "extract_fixture_dynamic": q_extract_fixture_dynamic,
@@ -472,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
     # SQL equivalent -> rows-only checks; everything else has a full oracle.
     return {
         "extract_grid4": ORACLE_GRID4,
+        "dataset_grid": ORACLE_DATASET_GRID,
         "token_count": ORACLE_TOKEN_COUNT,
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": _oracle_lang_id(),

@@ -13,10 +13,11 @@ from pyspark.sql import functions as F
 
 
 def _coerce(col):
-    """evaluation.py:46-50: '' and '-' -> NULL, else try numeric."""
+    """evaluation.py:46-50: '' and '-' -> NULL, else numeric-or-NULL
+    (pd.to_numeric(errors='coerce') semantics; try_cast is ANSI-safe)."""
     c = F.trim(col)
     return F.when((c == "") | (c == "-"), F.lit(None)).otherwise(
-        c.cast("double")
+        c.try_cast("double")
     )
 
 

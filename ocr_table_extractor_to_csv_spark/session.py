@@ -18,9 +18,10 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # html blobs are MBs; keep Arrow batches small so each Python worker
-    # holds a bounded number of documents at a time
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+    # bounds per-worker memory (rows x avg doc size per batch); 256 measured
+    # ~20% faster than 64 on ~3-100KB pages. Giant pages must NOT go through
+    # this default — isolate_giants runs them with maxRecordsPerBatch=4.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
     "spark.sql.execution.arrow.pyspark.selfDestruct.enabled": "true",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.parquet.compression.codec": "zstd",

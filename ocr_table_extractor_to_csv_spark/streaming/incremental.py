@@ -1,0 +1,61 @@
+"""Incremental extraction via Structured Streaming (SURVEY.md §2.8).
+
+The reference is strictly batch (one document per CLI run); the engine adds
+the idiomatic Spark incremental path: the SAME kernel runs unchanged under
+``readStream`` + ``trigger(availableNow=True)`` + ``checkpointLocation``.
+Each invocation processes exactly the files that arrived since the last
+checkpoint — exactly-once without the progress-table protocol (which remains
+for table-level / Iceberg-snapshot ingestion).
+
+No event-time windows or watermarks are needed: extraction is a stateless
+per-row transform.  ``foreachBatch`` writes both the extracted rows and the
+per-partition lineage manifests per micro-batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_pages
+from ..plans.lineage import build_manifests
+
+
+def incremental_extract(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    manifests_dir: Optional[str] = None,
+    layout: str = "auto",
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Run one availableNow pass; returns the finished StreamingQuery."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(pages_dir).select("url", "html")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = extract_pages(batch_df, layout=layout).withColumn(
+            "stream_batch_id", F.lit(batch_id)
+        )
+        extracted.persist()
+        extracted.write.mode("append").parquet(out_dir)
+        if manifests_dir:
+            build_manifests(extracted).withColumn(
+                "stream_batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(manifests_dir)
+        extracted.unpersist()
+
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -1,0 +1,167 @@
+"""Operator tests: dedup/similarity math against hand-computed values,
+multimodal plumbing, streaming incremental semantics, and the functions
+module."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_table_extractor_to_csv_spark.operators import dedup, multimodal, similarity
+from ocr_table_extractor_to_csv_spark.operators.evaluation import numeric_metrics
+
+
+def test_exact_dedup_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    rows = {r.fp: r for r in dedup.exact_dedup(docs).collect()}
+    fp = hashlib.md5(b"hello world").hexdigest()
+    assert rows[fp].n_docs == 2 and rows[fp].keeper_id == 1
+
+
+def test_shingles_and_jaccard_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (17, "a b c d e f"), (34, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert pairs == {(0, 17): 1.0}  # identical docs; disjoint doc shares nothing
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the dog"),
+         (2, "the quick brown fox jumps over the dog"),
+         (3, "entirely different words appear in this one")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_equal_and_bounded(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps zeta")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert rows[1] == rows[2]
+    assert 0 <= rows[1] < 2**32
+    assert rows[1] != rows[3]
+
+
+def test_brute_force_topk_math(spark):
+    # query 0 with unit vectors at known angles
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),       # cos 1.0
+            (2, [0.7071, 0.7071]),  # cos ~0.7071
+            (3, [0.0, 1.0]),       # cos 0.0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.brute_force_topk(emb, k=3, query_mod=50).collect()
+    got = [(r.rank, r.neighbor_id, r.cos_sim) for r in sorted(rows, key=lambda r: r.rank)]
+    assert got[0] == (1, 1, 1.0)
+    assert got[1][1] == 2 and abs(got[1][2] - 0.7071) < 1e-3
+    assert got[2] == (3, 3, 0.0)
+
+
+def test_lsh_topk_buckets_contain_identical_vectors(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (50, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.lsh_topk(emb, k=2, query_mod=50).collect()
+    # identical vectors share every hyperplane bucket -> both found, cos 1.0
+    found = {(r.query_id, r.neighbor_id): r.cos_sim for r in rows}
+    assert found[(0, 1)] == 1.0 and found[(0, 50)] == 1.0
+    assert found[(50, 0)] == 1.0 and found[(50, 1)] == 1.0
+
+
+def test_numeric_metrics_known_values(spark):
+    # y_true = [1,2,3], y_pred = [2,2,2]: mse = 2/3, r2 = 1 - 2/2 = 0
+    pairs = spark.createDataFrame(
+        [("1", "2"), ("2", "2"), ("3", "2"), ("-", "9"), ("", "9")],
+        "y_true string, y_pred string",
+    )
+    m = numeric_metrics(pairs).collect()[0]
+    assert m.n == 3  # '-' and '' are masked out (evaluation.py:46-50)
+    assert abs(m.mse - 2 / 3) < 1e-6  # outputs are round(..., 6)
+    assert abs(m.rmse - math.sqrt(2 / 3)) < 1e-6
+    assert abs(m.r2 - 0.0) < 1e-6
+
+
+def test_numeric_metrics_zero_variance_r2_null(spark):
+    pairs = spark.createDataFrame(
+        [("5", "4"), ("5", "6")], "y_true string, y_pred string"
+    )
+    m = numeric_metrics(pairs).collect()[0]
+    assert m.r2 is None  # reference returns NaN (evaluation.py:67-70)
+
+
+def test_multimodal_features_deterministic(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytes(range(256))), (2, "audio", b"\x00" * 64), (3, "video", b"")],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r.media_id: r for r in multimodal.media_features(media).collect()}
+    assert rows[1].error is None and len(rows[1].features) == 16
+    assert all(abs(f - 1 / 16) < 1e-9 for f in rows[1].features)  # uniform histogram
+    assert rows[2].features[0] == 1.0  # all zero bytes -> bucket 0
+    assert rows[3].error is not None and rows[3].features is None  # empty payload -> error row
+
+
+def test_multimodal_frame_sampling(spark):
+    media = spark.createDataFrame(
+        [(1, b"x" * 100)], "media_id long, payload binary"
+    )
+    r = multimodal.frame_sample(media, k=4).collect()[0]
+    assert r.n_frames == 4
+    assert r.frame_offsets == [0, 25, 50, 75]
+    assert r.frame_sizes == [25, 25, 25, 25]
+
+
+def test_streaming_incremental_exactly_once(spark, tmp_path):
+    from ocr_table_extractor_to_csv_spark.sources.pages import fixture_pages
+    from ocr_table_extractor_to_csv_spark.streaming.incremental import (
+        incremental_extract,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    all_pages = fixture_pages(spark, scale=0.1).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ).cache()
+    first = all_pages.limit(10)
+    first.write.mode("append").parquet(pages_dir)
+
+    incremental_extract(spark, pages_dir, out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 10
+
+    # arrival of new files: only the delta is processed on the next pass
+    all_pages.write.mode("append").parquet(pages_dir)
+    incremental_extract(spark, pages_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 10 + all_pages.count()
+
+    # third pass with no new files: nothing new
+    incremental_extract(spark, pages_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 10 + all_pages.count()
+
+
+def test_functions_to_number_analytics(spark):
+    from ocr_table_extractor_to_csv_spark.functions import to_number_col
+
+    df = spark.createDataFrame(
+        [("$ 1,234",), ("(500)",), ("-",), ("abc",)], "v string"
+    )
+    got = [r.n for r in df.select(to_number_col(F.col("v")).alias("n")).collect()]
+    assert got[0] == 1234.0 and got[1] == -500.0 and got[2] == 0.0 and got[3] is None
