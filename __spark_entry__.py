@@ -112,6 +112,110 @@ def _fixture_extract(spark: SparkSession, family: str) -> DataFrame:
     )
 
 
+_TOKS_GRID_SQL = """
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN []::VARCHAR[]
+              ELSE list_transform(
+                     string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t[1:12])
+         END AS ts
+  FROM documents
+"""
+
+
+def q_extract_fin_grid(spark, sf_dir):
+    """Financial layout end-to-end with a full SQL oracle: pages synthesized
+    so every line carries (label, v1, v2) spans with deterministic values."""
+    from ocr_table_extractor_to_csv_spark.sources.pages import fin_pages_from_documents
+
+    pages = fin_pages_from_documents(_docs(spark, sf_dir))
+    ext = extract_pages(pages.select("url", "html"), layout="financial")
+    return ext.withColumn("doc_id", F.split(F.col("url"), "://")[1].cast("long")).select(
+        "doc_id",
+        "n_rows",
+        "n_cols",
+        F.md5(_strip_bom_text("csv")).alias("csv_md5"),
+        F.md5(F.col("main_text")).alias("text_md5"),
+    )
+
+
+ORACLE_FIN_GRID = f"""
+WITH toks AS ({_TOKS_GRID_SQL}),
+ok AS (
+  SELECT doc_id, ts, CAST(len(ts) // 3 AS INT) AS k FROM toks WHERE len(ts) >= 3
+), lines AS (
+  SELECT doc_id, r,
+         'l' || ts[3*r+1] || ',' ||
+         CAST((length(ts[3*r+2]) * 97 + r * 13) % 999 + 1 AS VARCHAR) || ',' ||
+         CAST((length(ts[3*r+3]) * 89 + r * 31) % 999 + 1 AS VARCHAR) AS line
+  FROM ok, UNNEST(generate_series(0, k - 1)) AS u(r)
+), agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(13)||chr(10) ORDER BY r) AS body,
+         string_agg(replace(line, ',', ' '), chr(10) ORDER BY r) AS main_text,
+         count(*) AS k
+  FROM lines GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(k AS INT) AS n_rows,
+       CAST(3 AS INT) AS n_cols,
+       md5('Cuenta,Valor_1,Valor_2' || chr(13)||chr(10) || body || chr(13)||chr(10)) AS csv_md5,
+       md5(main_text) AS text_md5
+FROM agg
+"""
+
+
+def q_extract_dyn_grid(spark, sf_dir):
+    """Dynamic layout end-to-end with a full SQL oracle: dot-leader pages
+    whose column inference, year naming, and cell assignment are exactly
+    derivable (see sources/pages.py:dyn_hocr)."""
+    from ocr_table_extractor_to_csv_spark.sources.pages import dyn_pages_from_documents
+
+    pages = dyn_pages_from_documents(_docs(spark, sf_dir))
+    ext = extract_pages(pages.select("url", "html"), layout="dynamic")
+    return ext.withColumn("doc_id", F.split(F.col("url"), "://")[1].cast("long")).select(
+        "doc_id",
+        "n_rows",
+        "n_cols",
+        F.md5(_strip_bom_text("csv")).alias("csv_md5"),
+        F.md5(F.expr("substring(decode(csv_numeric, 'UTF-8'), 2)")).alias("num_md5"),
+        F.md5(F.col("main_text")).alias("text_md5"),
+    )
+
+
+# dots(label_len) = ((746 - 8*label_len) // 14) + 1 (pages.py:dyn_leader_count)
+ORACLE_DYN_GRID = f"""
+WITH toks AS ({_TOKS_GRID_SQL}),
+ok AS (
+  SELECT doc_id, ts, CAST(len(ts) // 3 AS INT) AS k FROM toks WHERE len(ts) // 3 >= 6
+), lines AS (
+  SELECT doc_id, 0 AS r,
+         'periodo' || repeat(' .', ((746 - 8 * 7) // 14) + 1) || ',2021,2022' AS line
+  FROM ok
+  UNION ALL
+  SELECT doc_id, r + 1 AS r,
+         'l' || ts[3*r+1] || repeat(' .', ((746 - 8 * (1 + length(ts[3*r+1]))) // 14) + 1)
+         || ',' || CAST((length(ts[3*r+2]) * 97 + r * 13) % 999 + 1 AS VARCHAR)
+         || ',' || CAST((length(ts[3*r+3]) * 89 + r * 31) % 999 + 1 AS VARCHAR) AS line
+  FROM ok, UNNEST(generate_series(0, k - 1)) AS u(r)
+), agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(13)||chr(10) ORDER BY r) AS body,
+         string_agg(replace(line, ',', ' '), chr(10) ORDER BY r) AS main_text,
+         count(*) AS total
+  FROM lines GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(total AS INT) AS n_rows,
+       CAST(3 AS INT) AS n_cols,
+       md5('Cuenta,2021,2022' || chr(13)||chr(10) || body || chr(13)||chr(10)) AS csv_md5,
+       md5('Cuenta,2021,2022' || chr(13)||chr(10) || body || chr(13)||chr(10)) AS num_md5,
+       md5(main_text) AS text_md5
+FROM agg
+"""
+
+
 def q_dataset_grid(spark, sf_dir):
     """LayoutLM dataset builder over the synthesized grid pages; labels and
     header are independently derivable in SQL from documents.text."""
@@ -488,6 +592,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_grid4": q_extract_grid4,
+        "extract_fin_grid": q_extract_fin_grid,
+        "extract_dyn_grid": q_extract_dyn_grid,
         "dataset_grid": q_dataset_grid,
         "extract_fixture_generic": q_extract_fixture_generic,
         "extract_fixture_financial": q_extract_fixture_financial,
@@ -515,6 +621,8 @@ def oracle_sql() -> dict[str, str]:
     # SQL equivalent -> rows-only checks; everything else has a full oracle.
     return {
         "extract_grid4": ORACLE_GRID4,
+        "extract_fin_grid": ORACLE_FIN_GRID,
+        "extract_dyn_grid": ORACLE_DYN_GRID,
         "dataset_grid": ORACLE_DATASET_GRID,
         "token_count": ORACLE_TOKEN_COUNT,
         "text_quality": ORACLE_TEXT_QUALITY,

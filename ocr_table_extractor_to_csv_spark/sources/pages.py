@@ -83,6 +83,131 @@ def grid_hocr(tokens: List[str]) -> bytes:
     return "".join(parts).encode()
 
 
+# ---------------------------------------------------------------------------
+# financial-grid synthesis: rows of (label, v1, v2) whose FINANCIAL-layout
+# extraction is exactly (header Cuenta,Valor_1,Valor_2; one row per token
+# triple).  Values are 1..999 (no thousands separators -> match the financial
+# numeric regex, no CSV quoting); labels are 'l'+token (never numeric).
+# All lines carry two numeric spans so merge_financial_rows never fuses rows
+# and postprocess is the identity.  v-formulas are mirrored in the SQL oracle.
+# ---------------------------------------------------------------------------
+
+FIN_VX = (800, 1200)
+
+
+def fin_value(tok_len: int, r: int, which: int) -> int:
+    if which == 0:
+        return (tok_len * 97 + r * 13) % 999 + 1
+    return (tok_len * 89 + r * 31) % 999 + 1
+
+
+def fin_hocr(tokens: List[str]) -> bytes:
+    k = len(tokens) // 3
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?><html><body>'
+        '<div class="ocr_page" title="image; bbox 0 0 1700 100000">'
+    ]
+    for r in range(k):
+        y = Y0 + ROW_PITCH * r
+        lab = "l" + tokens[3 * r]
+        parts.append(
+            f'<span class="ocrx_word" title="bbox 100 {y} {100 + CHAR_W * len(lab)} {y + TOKEN_H}">{lab}</span>'
+        )
+        for which, vx in enumerate(FIN_VX):
+            v = fin_value(len(tokens[3 * r + 1 + which]), r, which)
+            s = str(v)
+            parts.append(
+                f'<span class="ocrx_word" title="bbox {vx} {y} {vx + CHAR_W * len(s)} {y + TOKEN_H}">{s}</span>'
+            )
+    parts.append("</div></body></html>")
+    return "".join(parts).encode()
+
+
+# ---------------------------------------------------------------------------
+# dynamic-grid synthesis: dot-leader lines with K=2 value columns whose
+# DYNAMIC-layout extraction is exactly derivable: >=39 leader dots per line
+# keep the per-line P95 gap at 10 (-> merge threshold 12), so the label+dots
+# form one span and each right-aligned value (center exactly on its anchor)
+# its own span; bucket medians land exactly on the anchors; a 'periodo'
+# year line (2021/2022) in the top band names the columns.
+# ---------------------------------------------------------------------------
+
+DYN_ANCHORS = (1210, 1540)
+DYN_LEADER_TO = DYN_ANCHORS[0] - 350  # 860
+DYN_DOT_W, DYN_DOT_STEP = 4, 14
+
+
+def dyn_leader_count(label_len: int) -> int:
+    """# of dots: x from 100+8*label_len+10 while x+4 <= 860 step 14
+    (mirrored in SQL)."""
+    start = 100 + CHAR_W * label_len + 10
+    if start + DYN_DOT_W > DYN_LEADER_TO:
+        return 0
+    return (DYN_LEADER_TO - DYN_DOT_W - start) // DYN_DOT_STEP + 1
+
+
+def _dyn_line(parts: List[str], label: str, values: List[str], y: int) -> None:
+    lx2 = 100 + CHAR_W * len(label)
+    parts.append(
+        f'<span class="ocrx_word" title="bbox 100 {y} {lx2} {y + TOKEN_H}">{label}</span>'
+    )
+    x = lx2 + 10
+    while x + DYN_DOT_W <= DYN_LEADER_TO:
+        parts.append(
+            f'<span class="ocrx_word" title="bbox {x} {y} {x + DYN_DOT_W} {y + TOKEN_H}">.</span>'
+        )
+        x += DYN_DOT_STEP
+    for anchor, s in zip(DYN_ANCHORS, values):
+        half = 4 * len(s)  # right/left symmetric: center exactly on anchor
+        parts.append(
+            f'<span class="ocrx_word" title="bbox {anchor - half} {y} {anchor + half} {y + TOKEN_H}">{s}</span>'
+        )
+
+
+def dyn_hocr(tokens: List[str]) -> bytes:
+    k = len(tokens) // 3
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?><html><body>'
+        '<div class="ocr_page" title="image; bbox 0 0 1700 100000">'
+    ]
+    _dyn_line(parts, "periodo", ["2021", "2022"], Y0)
+    for r in range(k):
+        y = Y0 + ROW_PITCH * (r + 1)
+        lab = "l" + tokens[3 * r]
+        vals = [str(fin_value(len(tokens[3 * r + 1 + w]), r, w)) for w in range(2)]
+        _dyn_line(parts, lab, vals, y)
+    parts.append("</div></body></html>")
+    return "".join(parts).encode()
+
+
+def _fin_dyn_batches(kind: str):
+    builder = fin_hocr if kind == "fin" else dyn_hocr
+    min_rows = 1 if kind == "fin" else 6
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, urls, htmls = [], [], []
+            for i in range(len(batch)):
+                toks = grid_tokens(batch["text"].iat[i])
+                if len(toks) // 3 < min_rows:
+                    continue
+                doc_id = int(batch["doc_id"].iat[i])
+                ids.append(doc_id)
+                urls.append(f"{kind}://{doc_id}")
+                htmls.append(builder(toks))
+            yield pd.DataFrame({"doc_id": ids, "url": urls, "html": htmls})
+
+    return gen
+
+
+def fin_pages_from_documents(documents: DataFrame) -> DataFrame:
+    return documents.select("doc_id", "text").mapInPandas(_fin_dyn_batches("fin"), PAGES_SCHEMA)
+
+
+def dyn_pages_from_documents(documents: DataFrame) -> DataFrame:
+    return documents.select("doc_id", "text").mapInPandas(_fin_dyn_batches("dyn"), PAGES_SCHEMA)
+
+
 def _synth_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for batch in batches:
         ids, urls, htmls = [], [], []

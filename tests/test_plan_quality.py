@@ -1,0 +1,66 @@
+"""Physical-plan quality gates: the promises in README/SURVEY §4 must show
+up in .explain output — column pruning to (url, html) at the scan, predicate
+pushdown into parquet, and AQE broadcast of a small resume anti-join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_table_extractor_to_csv_spark.operators.extract import extract_pages
+from ocr_table_extractor_to_csv_spark.plans.resume import pending_pages
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    from ocr_table_extractor_to_csv_spark.sources.pages import fixture_pages
+
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    fixture_pages(spark, scale=0.1).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _formatted(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_scan_prunes_to_url_html(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    plan = _formatted(spark, extract_pages(pages, layout="generic"))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # text (the biggest other column) and warc_ts must NOT be read
+    assert "url" in read and "html" in read
+    assert "text" not in read and "warc_ts" not in read and "lang" not in read
+
+
+def test_lang_filter_pushed_down(spark, pages_path):
+    pages = spark.read.parquet(pages_path).where(F.col("lang") == "es")
+    plan = _formatted(spark, extract_pages(pages, layout="financial"))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "EqualTo(lang,es)" in pushed
+
+
+def test_small_progress_anti_join_broadcasts_at_runtime(spark, pages_path):
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    progress = spark.createDataFrame(
+        [("https://fixtures.test/generic4/000000", "done")], "url string, status string"
+    )
+    pend = pending_pages(pages.select("url"), progress)
+    jdf = pend._jdf  # hold THIS dataset's queryExecution
+    pend.collect()  # execute it so AQE finalizes the physical plan
+    executed = jdf.queryExecution().executedPlan().toString()
+    # AQE must have replaced the static sort-merge anti join with a broadcast
+    assert "isFinalPlan=true" in executed
+    assert "BroadcastHashJoin" in executed, executed[:2000]
+
+
+def test_similarity_topk_no_python_udf_in_plan(spark):
+    from ocr_table_extractor_to_csv_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(100)], "vec_id long, embedding array<float>"
+    )
+    plan = _formatted(spark, brute_force_topk(emb))
+    # dot products stay JVM-side: no Python/Arrow eval nodes
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
