@@ -188,7 +188,8 @@ def q_extract_dyn_grid(spark, sf_dir):
 ORACLE_DYN_GRID = f"""
 WITH toks AS ({_TOKS_GRID_SQL}),
 ok AS (
-  SELECT doc_id, ts, CAST(len(ts) // 3 AS INT) AS k FROM toks WHERE len(ts) // 3 >= 6
+  SELECT doc_id, ts, CAST(least(len(ts) // 3, 12) AS INT) AS k
+  FROM toks WHERE len(ts) // 3 >= 6
 ), lines AS (
   SELECT doc_id, 0 AS r,
          'periodo' || repeat(' .', ((746 - 8 * 7) // 14) + 1) || ',2021,2022' AS line
@@ -404,23 +405,34 @@ def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
-ORACLE_MINHASH_LSH = f"""
+def _oracle_minhash_lsh() -> str:
+    xs = dedup._xor_constants(dedup.N_MINHASH)
+    mins = ", ".join(f"min(xor(h0, {x})) AS m{i}" for i, x in enumerate(xs))
+    n_bands = dedup.N_MINHASH // dedup.BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bkey FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(m{b * dedup.BAND_SIZE + j} AS VARCHAR)" for j in range(dedup.BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
 WITH sh AS (
   SELECT * FROM ({_SHINGLES_SQL}) s WHERE shingle <> ''
 ), sig AS (
-  SELECT doc_id, seed,
-         min(CAST('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15) AS BIGINT)) AS minhash
-  FROM sh, UNNEST(generate_series(0, {dedup.N_MINHASH - 1})) AS u(seed)
-  GROUP BY 1, 2
-), bands AS (
-  SELECT doc_id, CAST(seed // {dedup.BAND_SIZE} AS INT) AS band,
-         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS bkey
-  FROM sig GROUP BY 1, 2
-)
+  SELECT doc_id, {mins}
+  FROM (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h0 FROM sh) _h
+  GROUP BY doc_id
+), bands AS ({band_selects})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 """
+
+
+ORACLE_MINHASH_LSH = _oracle_minhash_lsh()
 
 
 def q_simhash(spark, sf_dir):

@@ -93,13 +93,25 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3, sample_mod: int = 17) 
     )
 
 
+def _xor_constants(k: int) -> list:
+    """Deterministic 60-bit XOR family constants: X_i = md5('seed:i')[:15].
+    One md5 per SHINGLE total (not per shingle x seed): h_i = h0 XOR X_i —
+    16x fewer hashes than seeding the digest, same oracle-exactness."""
+    import hashlib
+
+    return [int(hashlib.md5(f"seed:{i}".encode()).hexdigest()[:15], 16) for i in range(k)]
+
+
 def minhash_signatures(documents: DataFrame, n: int = 3, k: int = N_MINHASH) -> DataFrame:
-    """(doc_id, seed, minhash) — min over shingles of h_seed(shingle)."""
+    """(doc_id, m0..m{k-1}) — min over shingles of (h0(shingle) XOR X_i),
+    computed as k aggregates in ONE pass (no row-multiplying seed explode;
+    map-side partial min makes this shuffle a few long-ints per doc)."""
     sh = shingles(documents, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    exploded = sh.select("doc_id", "shingle", seeds)
-    return exploded.groupBy("doc_id", "seed").agg(
-        F.min(_md5_hash(F.col("shingle"), F.col("seed"))).alias("minhash")
+    h0 = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h0.alias("h0"))
+    xs = _xor_constants(k)
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(F.expr(f"h0 ^ {x}L")).alias(f"m{i}") for i, x in enumerate(xs)]
     )
 
 
@@ -108,22 +120,18 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket."""
     sig = minhash_signatures(documents, n, k)
-    bands = sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-    # collect_list has no order guarantee -> sort (seed, minhash) structs
-    # post-collect so the band key is deterministic under any partitioning
-    band_keys = bands.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            )
-        ).alias("bkey")
-    )
-    a = band_keys.alias("a")
-    b = band_keys.alias("b")
+    n_bands = k // band_size
+    band_cols = []
+    for b in range(n_bands):
+        key = F.md5(
+            F.concat_ws(",", *[F.col(f"m{b * band_size + j}").cast("string") for j in range(band_size)])
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = bands.alias("a")
+    b = bands.alias("b")
     return (
         a.join(
             b,

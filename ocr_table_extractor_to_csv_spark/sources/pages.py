@@ -164,8 +164,12 @@ def _dyn_line(parts: List[str], label: str, values: List[str], y: int) -> None:
         )
 
 
+DYN_MAX_ROWS = 12  # cap (mirrored in the SQL oracle): dot-leader docs are
+# ~55 tokens/line, so uncapped synthesis dominates the correctness query
+
+
 def dyn_hocr(tokens: List[str]) -> bytes:
-    k = len(tokens) // 3
+    k = min(len(tokens) // 3, DYN_MAX_ROWS)
     parts = [
         '<?xml version="1.0" encoding="UTF-8"?><html><body>'
         '<div class="ocr_page" title="image; bbox 0 0 1700 100000">'
@@ -201,11 +205,11 @@ def _fin_dyn_batches(kind: str):
 
 
 def fin_pages_from_documents(documents: DataFrame) -> DataFrame:
-    return documents.select("doc_id", "text").mapInPandas(_fin_dyn_batches("fin"), PAGES_SCHEMA)
+    return _spread(documents).mapInPandas(_fin_dyn_batches("fin"), PAGES_SCHEMA)
 
 
 def dyn_pages_from_documents(documents: DataFrame) -> DataFrame:
-    return documents.select("doc_id", "text").mapInPandas(_fin_dyn_batches("dyn"), PAGES_SCHEMA)
+    return _spread(documents).mapInPandas(_fin_dyn_batches("dyn"), PAGES_SCHEMA)
 
 
 def _synth_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -222,9 +226,16 @@ def _synth_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": ids, "url": urls, "html": htmls})
 
 
+def _spread(documents: DataFrame) -> DataFrame:
+    """documents.parquet is a single file -> 1 scan partition; without a
+    spread the whole synth+extract pipeline would run on one core."""
+    n = documents.sparkSession.sparkContext.defaultParallelism
+    return documents.select("doc_id", "text").repartition(n)
+
+
 def pages_from_documents(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, ...) -> pages(doc_id, url, html)."""
-    return documents.select("doc_id", "text").mapInPandas(_synth_batches, PAGES_SCHEMA)
+    return _spread(documents).mapInPandas(_synth_batches, PAGES_SCHEMA)
 
 
 def fixture_pages(spark, scale: float = 1.0, giant_tokens: int = 2000) -> DataFrame:
