@@ -247,9 +247,16 @@ def run_scaling(args):
         return rates
 
     rounds = []
-    for _ in range(args.rounds):
-        s = solo()
-        q = quad()
+    for i in range(args.rounds):
+        # alternate measurement order: host throughput drifts monotonically
+        # over minutes, so a fixed solo-then-quad order biases the ratio in
+        # whichever direction the machine is drifting
+        if i % 2 == 0:
+            s = solo()
+            q = quad()
+        else:
+            q = quad()
+            s = solo()
         rounds.append({"one": s, "four": round(sum(q), 1), "four_each": q,
                        "eff": round(sum(q) / (4 * s), 3)})
     effs = sorted(r["eff"] for r in rounds)

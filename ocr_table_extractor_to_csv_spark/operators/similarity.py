@@ -72,11 +72,16 @@ def brute_force_topk(
     )
 
 
-def hyperplane_sketch(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+def hyperplane_sketch(
+    embeddings: DataFrame, n_planes: int = 8, plane_offset: int = 0
+) -> DataFrame:
     """Sign-bit sketch: bit_p = (sum_i emb[i] * w_p[i]) > 0 with
-    deterministic pseudo-random weights w_p[i] = md5u(p||i) in [-1, 1]."""
+    deterministic pseudo-random weights w_p[i] = md5u(p||i) in [-1, 1].
+    ``plane_offset`` decorrelates the planes of different hash tables."""
     dim = F.size(F.col("embedding"))
-    plane = F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("plane")
+    plane = F.explode(
+        F.sequence(F.lit(plane_offset), F.lit(plane_offset + n_planes - 1))
+    ).alias("plane")
     e = embeddings.select("vec_id", "embedding", plane)
     # weight(p, i): fold md5 hex prefix to [-1,1]
     proj = F.aggregate(
@@ -103,27 +108,58 @@ def hyperplane_sketch(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     )
     bits = e.select("vec_id", "plane", (proj > 0).cast("int").alias("bit"))
     return bits.groupBy("vec_id").agg(
-        F.sum(F.expr("shiftleft(CAST(bit AS BIGINT), plane)")).alias("bucket")
+        F.sum(F.expr(f"shiftleft(CAST(bit AS BIGINT), plane - {plane_offset})")).alias("bucket")
     )
 
 
-def lsh_topk(embeddings: DataFrame, k: int = 5, query_mod: int = 50, n_planes: int = 8) -> DataFrame:
-    """ANN: exact re-rank within hyperplane buckets (scale path)."""
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 50,
+    n_planes: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """ANN: exact cosine re-rank within multi-table hyperplane buckets.
+
+    L independent hash tables (decorrelated plane sets) union their
+    same-bucket candidates — the standard recall lever: expected candidate
+    fraction ~ L / 2^planes; per-neighbor hit rate 1-(1-(1-theta/pi)^p)^L.
+    The sf test embeddings are near-uniform random (theta ~ 60-70 deg, the
+    LSH worst case): defaults measure recall@5 ~= 0.42 there (pinned as a
+    regression floor in tests), while clustered real-world embeddings
+    (theta ~ 20-35 deg) land ~0.9 at the same settings.  Everything stays
+    JVM-side column expressions.
+    """
     from pyspark.sql.window import Window
 
-    sk = hyperplane_sketch(embeddings, n_planes)
+    tables = [
+        hyperplane_sketch(embeddings, n_planes, plane_offset=t * 1000).withColumn(
+            "table", F.lit(t)
+        )
+        for t in range(n_tables)
+    ]
+    sk = tables[0]
+    for t in tables[1:]:
+        sk = sk.unionByName(t)
     base = embeddings.join(sk, "vec_id").select(
-        "vec_id", "embedding", "bucket", _norm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", "table", "bucket", _norm(F.col("embedding")).alias("nrm")
     )
     q = base.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("table").alias("q_table"),
         F.col("bucket").alias("q_bucket"),
         F.col("nrm").alias("q_nrm"),
     )
-    cand = q.join(
-        base.where(F.col("nrm") > 0),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    cand = (
+        q.join(
+            base.where(F.col("nrm") > 0),
+            (F.col("table") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "q_emb", "q_nrm", "vec_id", "embedding", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])  # union of tables
     )
     sim = cand.select(
         "query_id",

@@ -84,6 +84,16 @@ def test_lsh_topk_buckets_contain_identical_vectors(spark):
     assert found[(50, 0)] == 1.0 and found[(50, 1)] == 1.0
 
 
+def test_lsh_recall_floor_vs_brute_force(spark):
+    """Multi-table hyperplane LSH recall on the (near-random, worst-case)
+    test embeddings — regression floor for the ANN path."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(emb, k=5).collect()}
+    ls = {(r.query_id, r.neighbor_id) for r in similarity.lsh_topk(emb, k=5).collect()}
+    recall = len(bf & ls) / len(bf)
+    assert recall >= 0.35, recall  # measured 0.42 on random data; ~0.9 on clustered
+
+
 def test_numeric_metrics_known_values(spark):
     # y_true = [1,2,3], y_pred = [2,2,2]: mse = 2/3, r2 = 1 - 2/2 = 0
     pairs = spark.createDataFrame(
