@@ -451,7 +451,8 @@ WITH toks AS (
   FROM h, UNNEST(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS u(bit)
   GROUP BY 1, 2
 )
-SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
 FROM per_bit GROUP BY 1
 """
 

@@ -32,11 +32,75 @@ from ocr_table_extractor_to_csv_spark.operators.extract import extract_pages
 from ocr_table_extractor_to_csv_spark.plans.lineage import build_manifests
 from ocr_table_extractor_to_csv_spark.plans.partitioning import isolate_giants
 from ocr_table_extractor_to_csv_spark.plans.resume import (
-    commit_batch,
+    commit_progress,
     pending_pages,
     read_progress,
+    write_batch,
 )
 from ocr_table_extractor_to_csv_spark.session import get_spark
+
+GIANT_BATCH_ROWS = "4"
+
+
+def run_extract(
+    spark,
+    pages,
+    out: str,
+    progress_path: str,
+    batch_id: int,
+    layout: str = "auto",
+    per_row_dispatch: bool = False,
+    giant_threshold: int = 8 * 1024 * 1024,
+    manifests: str | None = None,
+):
+    """The job body, callable from tests.  Two pass-isolated actions:
+
+    1. small docs extract+write under the session's default Arrow batch size
+       (256 — the measured fast setting);
+    2. giant docs extract+write under maxRecordsPerBatch=4 (memory bound),
+       the conf restored afterwards.
+
+    The passes commit to separate ``(batch_id, pass)`` partitions so a
+    re-run of either replaces rather than duplicates (see plans/resume.py),
+    and the giants conf can NEVER leak into the small pass (r01 verdict #2:
+    the old lazy-union version executed BOTH passes at 4 rows/batch).
+    Returns the committed DataFrame for this batch.
+    """
+    progress = read_progress(spark, progress_path)
+    pending = pending_pages(pages, progress)
+
+    small, giants = isolate_giants(pending, giant_threshold)
+    write_batch(
+        extract_pages(small, layout=layout, per_row_dispatch=per_row_dispatch),
+        batch_id,
+        out,
+        sub="small",
+    )
+
+    default_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", GIANT_BATCH_ROWS)
+    try:
+        write_batch(
+            extract_pages(
+                giants.repartition(spark.sparkContext.defaultParallelism),
+                layout=layout,
+                per_row_dispatch=per_row_dispatch,
+            ),
+            batch_id,
+            out,
+            sub="giant",
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", default_batch)
+
+    commit_progress(spark, batch_id, out, progress_path)
+
+    committed = spark.read.parquet(out).where(F.col("batch_id") == batch_id)
+    if manifests:
+        build_manifests(committed).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(manifests)
+    return committed
 
 
 def main() -> None:
@@ -64,28 +128,17 @@ def main() -> None:
     cols = ["url", "html"] + (["layout", "args"] if args.per_row_dispatch else [])
     pages = pages.select(*cols)
 
-    progress = read_progress(spark, args.progress)
-    pending = pending_pages(pages, progress)
-
-    small, giants = isolate_giants(pending, args.giant_threshold)
-    extracted = extract_pages(small, layout=args.layout, per_row_dispatch=args.per_row_dispatch)
-    if giants.limit(1).count():
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
-        extracted = extracted.unionByName(
-            extract_pages(
-                giants.repartition(spark.sparkContext.defaultParallelism),
-                layout=args.layout,
-                per_row_dispatch=args.per_row_dispatch,
-            )
-        )
-
-    commit_batch(extracted, args.batch_id, args.out, args.progress)
-
-    committed = spark.read.parquet(args.out).where(F.col("batch_id") == args.batch_id)
-    if args.manifests:
-        build_manifests(committed).withColumn("batch_id", F.lit(args.batch_id)).write.mode(
-            "append"
-        ).parquet(args.manifests)
+    committed = run_extract(
+        spark,
+        pages,
+        out=args.out,
+        progress_path=args.progress,
+        batch_id=args.batch_id,
+        layout=args.layout,
+        per_row_dispatch=args.per_row_dispatch,
+        giant_threshold=args.giant_threshold,
+        manifests=args.manifests,
+    )
 
     stats = committed.agg(
         F.count("*").alias("n"),

@@ -147,25 +147,24 @@ def minhash_lsh_pairs(
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """32-bit SimHash over tokens (counted, not distinct).
 
-    Relational formulation (explode tokens x bits, sign-sum, pack) — exactly
-    SQL-expressible, and in Spark the double explode stays map-side until one
-    (doc_id)-keyed aggregation.
+    One token explode and ONE groupBy(doc_id) computing all ``bits``
+    sign-sums as conditional-sum aggregates — no bits-x row multiplication;
+    map-side partial aggregation ships ``bits`` longs per doc across the
+    shuffle.  Packing the sums into the hash is a plain column expression.
+    Exactly SQL-expressible (same DuckDB oracle).
     """
     toks = documents.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     hashed = toks.select("doc_id", h.alias("h"))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    per_bit = (
-        hashed.select("doc_id", "h", bit)
-        .withColumn(
-            "sign",
-            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("sign").alias("s"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)).alias(
-            "simhash"
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        packed = packed + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+    return sums.select("doc_id", packed.alias("simhash"))

@@ -37,20 +37,35 @@ def pending_pages(pages: DataFrame, progress: DataFrame | None) -> DataFrame:
     return pages.join(done, "url", "left_anti")
 
 
-def commit_batch(
+def write_batch(
     extracted: DataFrame,
     batch_id: int,
     extracted_path: str,
-    progress_path: str,
+    sub: str = "all",
 ) -> None:
+    """Idempotently (re)write ONE pass of a batch.
+
+    Dynamic partition overwrite on ``(batch_id, pass)`` replaces exactly this
+    pass's partition on a re-run, which lets the small-doc and giant-doc
+    passes commit as SEPARATE actions — each executing under its own Arrow
+    batch-size conf (the r01 giants-conf leak fix) — without a re-run ever
+    duplicating rows of either pass.
+    """
     spark = extracted.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    stamped = extracted.withColumn("batch_id", F.lit(batch_id))
+    stamped = extracted.withColumn("batch_id", F.lit(batch_id)).withColumn(
+        "pass", F.lit(sub)
+    )
     (
         stamped.write.mode("overwrite")
-        .partitionBy("batch_id")
+        .partitionBy("batch_id", "pass")
         .parquet(extracted_path)
     )
+
+
+def commit_progress(
+    spark: SparkSession, batch_id: int, extracted_path: str, progress_path: str
+) -> None:
     # progress rows are derived from the COMMITTED output, not the input:
     # re-reading guarantees the anti-join key set reflects durable data only
     committed = spark.read.parquet(extracted_path).where(F.col("batch_id") == batch_id)
@@ -63,3 +78,13 @@ def commit_batch(
         F.current_timestamp().alias("ts"),
     )
     progress.write.mode("append").parquet(progress_path)
+
+
+def commit_batch(
+    extracted: DataFrame,
+    batch_id: int,
+    extracted_path: str,
+    progress_path: str,
+) -> None:
+    write_batch(extracted, batch_id, extracted_path)
+    commit_progress(extracted.sparkSession, batch_id, extracted_path, progress_path)

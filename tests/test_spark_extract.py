@@ -100,6 +100,50 @@ def test_resume_anti_join_and_idempotent_commit(spark, pages, tmp_path):
     assert pending_pages(base, progress).count() == 0
 
 
+def test_giant_pass_conf_isolated(spark, tmp_path, monkeypatch):
+    """r01 verdict #2: the giant pass's maxRecordsPerBatch=4 must NOT leak
+    into the small pass (the old lazy-union ran both passes at 4), and the
+    session conf must be restored afterwards."""
+    import jobs.extract_job as ej
+
+    pages = fixture_pages(spark, scale=0.2, giant_tokens=3000).select(
+        "url", "html", "layout", "args"
+    )
+    seen = []
+    real = ej.write_batch
+
+    def spy(extracted, batch_id, path, sub="all"):
+        seen.append(
+            (
+                sub,
+                extracted.sparkSession.conf.get(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch"
+                ),
+            )
+        )
+        real(extracted, batch_id, path, sub=sub)
+
+    monkeypatch.setattr(ej, "write_batch", spy)
+    committed = ej.run_extract(
+        spark,
+        pages,
+        out=str(tmp_path / "out"),
+        progress_path=str(tmp_path / "prog"),
+        batch_id=0,
+        per_row_dispatch=True,
+        giant_threshold=50_000,
+    )
+    confs = dict(seen)
+    assert confs["small"] == "256", "small pass must run at the fast batch size"
+    assert confs["giant"] == "4", "giant pass must run memory-bounded"
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "256"
+    ), "conf must be restored"
+    by_pass = {r["pass"]: r["n"] for r in committed.groupBy("pass").agg(F.count("*").alias("n")).collect()}
+    assert by_pass.get("giant", 0) >= 1, "fixture giants must exercise the giant pass"
+    assert committed.select("url").distinct().count() == pages.count()
+
+
 def test_lineage_manifest_accounts_for_all_rows(spark, pages):
     extracted = extract_pages(pages, per_row_dispatch=True).cache()
     manifests = build_manifests(extracted)
