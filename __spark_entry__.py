@@ -425,7 +425,12 @@ WITH sh AS (
   SELECT doc_id, {mins}
   FROM (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h0 FROM sh) _h
   GROUP BY doc_id
-), bands AS ({band_selects})
+), bands0 AS ({band_selects}),
+bands AS (
+  SELECT doc_id, band, bkey FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands0
+  ) _c WHERE bsz <= {dedup.MAX_BUCKET}
+)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id

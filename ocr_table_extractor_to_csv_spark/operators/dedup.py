@@ -27,6 +27,7 @@ from .textstats import tokens_col
 N_MINHASH = 16
 BAND_SIZE = 2  # 8 bands of 2 rows
 SIMHASH_BITS = 32
+MAX_BUCKET = 64  # LSH band-bucket membership cap (hot-bucket guard)
 
 
 def _md5_hash(col, seed_col):
@@ -115,10 +116,10 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = N_MINHASH) -> 
     )
 
 
-def minhash_lsh_pairs(
+def lsh_bands(
     documents: DataFrame, n: int = 3, k: int = N_MINHASH, band_size: int = BAND_SIZE
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
+    """(doc_id, band, bkey) — one row per (doc, band)."""
     sig = minhash_signatures(documents, n, k)
     n_bands = k // band_size
     band_cols = []
@@ -127,9 +128,61 @@ def minhash_lsh_pairs(
             F.concat_ws(",", *[F.col(f"m{b * band_size + j}").cast("string") for j in range(band_size)])
         )
         band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("bkey")))
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+def lsh_bucket_stats(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Per-band bucket accounting (how much the hot-bucket cap drops):
+    (band, n_buckets, n_docs, n_hot_buckets, n_docs_in_hot) — report this
+    next to dedup output so capped coverage is never silent."""
+    bands = lsh_bands(documents, n, k, band_size)
+    per_bucket = bands.groupBy("band", "bkey").agg(F.count("*").alias("bsz"))
+    return per_bucket.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("bsz").alias("n_docs"),
+        F.sum(F.when(F.col("bsz") > max_bucket, 1).otherwise(0)).alias("n_hot_buckets"),
+        F.sum(F.when(F.col("bsz") > max_bucket, F.col("bsz")).otherwise(0)).alias(
+            "n_docs_in_hot"
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    k: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Hot-bucket guard (the 100 TB failure mode): a band bucket with M members
+    emits M(M-1)/2 pairs, and boilerplate-heavy corpora create giant buckets
+    exactly where dedup matters.  Buckets with > ``max_bucket`` docs are
+    SKIPPED in that band (a window count over the same shuffle key the
+    self-join uses anyway); truly identical texts still collapse via
+    ``exact_dedup``, and near-dup clusters bigger than the cap still link
+    through their less-crowded bands.  Use ``lsh_bucket_stats`` to report
+    what the cap dropped.  The DuckDB oracle mirrors the cap.
+    """
+    from pyspark.sql.window import Window
+
+    bands = lsh_bands(documents, n, k, band_size)
+    bands = (
+        bands.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("band", "bkey"))
+        )
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

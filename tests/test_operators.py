@@ -43,6 +43,24 @@ def test_minhash_identical_docs_always_pair(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_hot_bucket_capped(spark):
+    """A 1,000-doc identical-text cluster must NOT emit ~500k pairs (the
+    M^2/2 hot-bucket explosion); genuine small near-dup pairs still link,
+    and lsh_bucket_stats accounts for the dropped hot buckets."""
+    hot = [(i, "common boilerplate page text repeated everywhere") for i in range(1000)]
+    pair = [
+        (2001, "a genuinely unique document about alpine marmots and glaciers"),
+        (2002, "a genuinely unique document about alpine marmots and glaciers"),
+    ]
+    docs = spark.createDataFrame(hot + pair, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    assert (2001, 2002) in pairs
+    assert len(pairs) == 1, f"hot bucket leaked {len(pairs) - 1} extra pairs"
+    stats = {r.band: r for r in dedup.lsh_bucket_stats(docs).collect()}
+    assert all(s.n_hot_buckets >= 1 for s in stats.values())
+    assert all(s.n_docs_in_hot == 1000 for s in stats.values())
+
+
 def test_simhash_identical_equal_and_bounded(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps zeta")],
