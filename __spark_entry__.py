@@ -498,6 +498,63 @@ def q_similarity_lsh(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir))
 
 
+def _oracle_similarity_lsh(
+    k: int = 5, query_mod: int = 50, n_planes: int = 6, n_tables: int = 8, dim: int = 64
+) -> str:
+    """DuckDB twin of lsh_topk: the hyperplane weights are the SAME driver-
+    precomputed literals (similarity.plane_weights), folded left-to-right via
+    list_reduce so the sign bits match Spark's sequential double fold
+    exactly; candidates, cosine re-rank and top-k are plain SQL."""
+    bucket_cols = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            w = similarity.plane_weights(t * 1000 + p, dim)
+            wlist = "[" + ",".join(repr(x) for x in w) + "]"
+            terms.append(
+                f"CASE WHEN list_reduce(list_transform(generate_series(1, {dim}), "
+                f"i -> e[i] * ({wlist}::DOUBLE[])[i]), (a, b) -> a + b) > 0 "
+                f"THEN {1 << p} ELSE 0 END"
+            )
+        bucket_cols.append("(" + " + ".join(terms) + f") AS b{t}")
+    band_union = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM sk" for t in range(n_tables)
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), sk AS (
+  SELECT vec_id, {", ".join(bucket_cols)} FROM base
+), bands AS ({band_union}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c
+    ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % {query_mod} = 0
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM base
+), sims AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]))
+           / (q.nrm * c.nrm) AS cos
+  FROM cand
+  JOIN n q ON q.vec_id = cand.query_id AND q.nrm > 0
+  JOIN n c ON c.vec_id = cand.neighbor_id AND c.nrm > 0
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(cos, 4) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+ORACLE_SIMILARITY_LSH = _oracle_similarity_lsh()
+
+
 # ---------------------------------------------------------------------------
 # Evaluation / windowed analytics (events)
 # ---------------------------------------------------------------------------
@@ -635,8 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # extract_fixture_* and similarity_lsh are geometry/ANN pipelines with no
-    # SQL equivalent -> rows-only checks; everything else has a full oracle.
+    # extract_fixture_* are corpus-geometry pipelines with no SQL equivalent
+    # -> rows-only checks; everything else has a full value-level oracle.
     return {
         "extract_grid4": ORACLE_GRID4,
         "extract_fin_grid": ORACLE_FIN_GRID,
@@ -651,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": ORACLE_MINHASH_LSH,
         "simhash": ORACLE_SIMHASH,
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
+        "similarity_lsh": ORACLE_SIMILARITY_LSH,
         "eval_numeric": ORACLE_EVAL_NUMERIC,
         "sessionize": ORACLE_SESSIONIZE,
         "event_histogram": ORACLE_EVENT_HISTOGRAM,

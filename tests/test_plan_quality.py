@@ -64,3 +64,28 @@ def test_similarity_topk_no_python_udf_in_plan(spark):
     plan = _formatted(spark, brute_force_topk(emb))
     # dot products stay JVM-side: no Python/Arrow eval nodes
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_topk_single_sketch_scan(spark, tmp_path_factory):
+    """r01 verdict #3: the 8-table union scanned embeddings once PER table.
+    The single-pass sketch must read the parquet a bounded number of times
+    (sketch + candidate fetch + broadcast query fetch = 3), with no Python
+    eval nodes and no per-row md5 weight derivation."""
+    from ocr_table_extractor_to_csv_spark.operators.similarity import lsh_topk
+
+    path = str(tmp_path_factory.mktemp("emb") / "embeddings")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.mode(
+        "overwrite"
+    ).parquet(path)
+    emb = spark.read.parquet(path)
+    plan = _formatted(spark, lsh_topk(emb))
+    # formatted explain prints each scan node twice (tree + detail section);
+    # count unique node ids.  4 = band self-join sides (the query side's
+    # vec_id filter is pushed below the sketch projections, so the full
+    # 48-projection sketch runs once) + candidate fetch + broadcast q fetch.
+    import re
+
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    assert n_scans <= 4, f"embeddings scanned {n_scans} times"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "md5" not in plan, "plane weights must be precomputed literals"
