@@ -272,14 +272,153 @@ def q_extract_fixture_dynamic(spark, sf_dir):
 
 
 def q_extract_fixture_professional(spark, sf_dir):
-    return _fixture_extract(spark, "pro")
+    """Professional layout end-to-end with a full SQL oracle: uniform-indent
+    (label, v1, v2) rows synthesized from documents.text so the chained
+    x-interval grid, (empty) hierarchy stack, and first-row header selection
+    are exactly derivable (see sources/pages.py:pro_hocr).  The fixture
+    corpus's professional family (indent hierarchy + header-last bug) stays
+    byte-pinned in pytest (tests/test_kernel_properties.py, golden `pro`)."""
+    from ocr_table_extractor_to_csv_spark.sources.pages import pro_pages_from_documents
+
+    pages = pro_pages_from_documents(_docs(spark, sf_dir))
+    ext = extract_pages(pages.select("url", "html"), layout="professional")
+    return ext.withColumn("doc_id", F.split(F.col("url"), "://")[1].cast("long")).select(
+        "doc_id",
+        "n_rows",
+        "n_cols",
+        F.md5(_strip_bom_text("csv")).alias("csv_md5"),
+        F.md5(F.col("main_text")).alias("text_md5"),
+    )
+
+
+ORACLE_PRO_GRID = f"""
+WITH toks AS ({_TOKS_GRID_SQL}),
+ok AS (
+  SELECT doc_id, ts, CAST(len(ts) // 3 AS INT) AS k FROM toks WHERE len(ts) // 3 >= 2
+), lines AS (
+  SELECT doc_id, r,
+         'lbl' || ts[3*r+1] || ',' ||
+         CAST(1000 + (length(ts[3*r+2]) * 97 + r * 13) % 9000 AS VARCHAR) || ',' ||
+         CAST(1000 + (length(ts[3*r+3]) * 89 + r * 31) % 9000 AS VARCHAR) AS line
+  FROM ok, UNNEST(generate_series(0, k - 1)) AS u(r)
+), agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(13)||chr(10) ORDER BY r) AS body,
+         string_agg(replace(line, ',', ' '), chr(10) ORDER BY r) AS main_text,
+         count(*) AS k
+  FROM lines GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(k - 1 AS INT) AS n_rows,
+       CAST(3 AS INT) AS n_cols,
+       md5(body || chr(13)||chr(10)) AS csv_md5,
+       md5(main_text) AS text_md5
+FROM agg
+"""
 
 
 def q_extract_fixture_boiler(spark, sf_dir):
-    pages = fixture_pages(spark).where(F.col("family") == "boiler")
+    """Boilerplate-strip + <table> reconstruction end-to-end with a full SQL
+    oracle: regular HTML pages synthesized from documents.text (nav/footer
+    junk, 8-token <p> chunks kept iff >= 25 chars, a c0,c1 token table) —
+    see sources/pages.py:boiler_html."""
+    from ocr_table_extractor_to_csv_spark.sources.pages import boiler_pages_from_documents
+
+    pages = boiler_pages_from_documents(_docs(spark, sf_dir))
     ext = extract_pages(pages.select("url", "html"), layout="auto")
-    return ext.select(
-        "url", "n_rows", "n_cols", F.md5(F.col("main_text")).alias("text_md5")
+    return ext.withColumn("doc_id", F.split(F.col("url"), "://")[1].cast("long")).select(
+        "doc_id",
+        "n_rows",
+        "n_cols",
+        F.md5(_strip_bom_text("csv")).alias("csv_md5"),
+        F.md5(F.col("main_text")).alias("text_md5"),
+    )
+
+
+ORACLE_BOILER = f"""
+WITH toks AS ({_TOKS_GRID_SQL}),
+ok AS (
+  SELECT doc_id, ts FROM toks WHERE len(ts) >= 8
+), paras AS (
+  SELECT doc_id, i, array_to_string(ts[8*i+1 : 8*i+8], ' ') AS para
+  FROM ok, UNNEST(generate_series(0, CAST(len(ts) // 8 - 1 AS INT))) AS u(i)
+), mt AS (
+  SELECT doc_id,
+         coalesce(string_agg(para, chr(10)||chr(10) ORDER BY i)
+                    FILTER (WHERE length(para) >= 25), '') AS main_text
+  FROM paras GROUP BY doc_id
+), cells AS (
+  SELECT doc_id, j, ts[2*j+1] || ',' || ts[2*j+2] AS line
+  FROM ok, UNNEST(generate_series(0, 3)) AS u(j)
+), tbl AS (
+  SELECT doc_id,
+         'c0,c1' || chr(13)||chr(10)
+           || string_agg(line || chr(13)||chr(10), '' ORDER BY j) AS csv_text
+  FROM cells GROUP BY doc_id
+)
+SELECT mt.doc_id,
+       CAST(4 AS INT) AS n_rows,
+       CAST(2 AS INT) AS n_cols,
+       md5(tbl.csv_text) AS csv_md5,
+       md5(mt.main_text) AS text_md5
+FROM mt JOIN tbl ON tbl.doc_id = mt.doc_id
+"""
+
+
+def q_extract_mixed_dispatch(spark, sf_dir):
+    """Per-row layout dispatch end-to-end with a full SQL oracle: one
+    extract_pages(per_row_dispatch=True) call over a UNION of generic /
+    financial / dynamic / professional synthesized pages (sampled
+    doc_id % 7 == 0), each row carrying its own layout column — the Spark
+    analogue of the reference CLI's per-invocation --layout flag."""
+    from ocr_table_extractor_to_csv_spark.sources.pages import (
+        dyn_pages_from_documents,
+        fin_pages_from_documents,
+        pro_pages_from_documents,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    parts = []
+    for fn, layout in (
+        (pages_from_documents, "generic"),
+        (fin_pages_from_documents, "financial"),
+        (dyn_pages_from_documents, "dynamic"),
+        (pro_pages_from_documents, "professional"),
+    ):
+        parts.append(
+            fn(docs)
+            .withColumn("layout", F.lit(layout))
+            .withColumn("args", F.lit(None).cast("string"))
+        )
+    pages = parts[0]
+    for p in parts[1:]:
+        pages = pages.unionByName(p)
+    ext = extract_pages(pages.select("url", "html", "layout", "args"), per_row_dispatch=True)
+    return ext.withColumn("doc_id", F.split(F.col("url"), "://")[1].cast("long")).select(
+        "doc_id",
+        "layout",
+        "n_rows",
+        "n_cols",
+        F.md5(_strip_bom_text("csv")).alias("csv_md5"),
+    )
+
+
+def _oracle_mixed_dispatch() -> str:
+    # each family oracle reads `FROM documents` exactly once; inject the
+    # same doc_id % 7 sample the Spark query applies
+    def sampled(sql: str) -> str:
+        assert sql.count("FROM documents") == 1
+        return sql.replace("FROM documents", "FROM documents WHERE doc_id % 7 = 0")
+
+    branches = [
+        (sampled(ORACLE_GRID4), "generic"),
+        (sampled(ORACLE_FIN_GRID), "financial"),
+        (sampled(ORACLE_DYN_GRID), "dynamic"),
+        (sampled(ORACLE_PRO_GRID), "professional"),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT doc_id, '{layout}' AS layout, n_rows, n_cols, csv_md5 FROM ({sql}) _{layout}"
+        for sql, layout in branches
     )
 
 
@@ -675,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fixture_dynamic": q_extract_fixture_dynamic,
         "extract_fixture_professional": q_extract_fixture_professional,
         "extract_fixture_boiler": q_extract_fixture_boiler,
+        "extract_mixed_dispatch": q_extract_mixed_dispatch,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -699,6 +839,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_fin_grid": ORACLE_FIN_GRID,
         "extract_dyn_grid": ORACLE_DYN_GRID,
         "dataset_grid": ORACLE_DATASET_GRID,
+        "extract_fixture_professional": ORACLE_PRO_GRID,
+        "extract_fixture_boiler": ORACLE_BOILER,
+        "extract_mixed_dispatch": _oracle_mixed_dispatch(),
         "token_count": ORACLE_TOKEN_COUNT,
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": _oracle_lang_id(),

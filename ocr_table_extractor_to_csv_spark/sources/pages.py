@@ -184,16 +184,97 @@ def dyn_hocr(tokens: List[str]) -> bytes:
     return "".join(parts).encode()
 
 
-def _fin_dyn_batches(kind: str):
-    builder = fin_hocr if kind == "fin" else dyn_hocr
-    min_rows = 1 if kind == "fin" else 6
+# ---------------------------------------------------------------------------
+# professional-grid synthesis: uniform-indent rows of (label, v1, v2) whose
+# PROFESSIONAL-layout extraction is exactly derivable: one y-group per row
+# (pitch 56 >> tolerance 5), three chained x-projection intervals (labels
+# 'lbl'+token are >=4 chars = 32 px wide > the strict 25 px minimum; values
+# are always 4-digit so each value column is 32 px wide), no value-sparse
+# rows -> empty hierarchy stack, and the first row wins header selection, so
+# csv = all k lines (row 0 doubling as header) and body = rows 1..k-1.
+# ---------------------------------------------------------------------------
+
+PRO_VX = (800, 1200)
+
+
+def pro_value(tok_len: int, r: int, which: int) -> int:
+    if which == 0:
+        return 1000 + (tok_len * 97 + r * 13) % 9000
+    return 1000 + (tok_len * 89 + r * 31) % 9000
+
+
+def pro_hocr(tokens: List[str]) -> bytes:
+    k = len(tokens) // 3
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?><html><body>'
+        '<div class="ocr_page" title="image; bbox 0 0 1700 100000">'
+    ]
+    for r in range(k):
+        y = Y0 + ROW_PITCH * r
+        lab = "lbl" + tokens[3 * r]
+        parts.append(
+            f'<span class="ocrx_word" title="bbox 100 {y} {100 + CHAR_W * len(lab)} {y + TOKEN_H}">{lab}</span>'
+        )
+        for which, vx in enumerate(PRO_VX):
+            s = str(pro_value(len(tokens[3 * r + 1 + which]), r, which))
+            parts.append(
+                f'<span class="ocrx_word" title="bbox {vx} {y} {vx + CHAR_W * len(s)} {y + TOKEN_H}">{s}</span>'
+            )
+    parts.append("</div></body></html>")
+    return "".join(parts).encode()
+
+
+# ---------------------------------------------------------------------------
+# boiler synthesis: a regular (non-hOCR) web page whose boilerplate-strip
+# output is exactly derivable: nav/footer junk is dropped by container rule,
+# <p> paragraphs are 8-token chunks kept iff len >= MIN_CHARS (25), table
+# cells are single tokens (< 25 chars, so they never leak into main_text),
+# and the first <table> (header c0,c1 + 4 token rows) round-trips through
+# the byte-exact CSV exporter.
+# ---------------------------------------------------------------------------
+
+BOILER_PARA_TOKENS = 8
+BOILER_TABLE_ROWS = 4
+
+
+def boiler_html(tokens: List[str]) -> bytes:
+    paras = [
+        " ".join(tokens[BOILER_PARA_TOKENS * i : BOILER_PARA_TOKENS * (i + 1)])
+        for i in range(len(tokens) // BOILER_PARA_TOKENS)
+    ]
+    nav = "".join(f'<li><a href="/p{j}">nav link {j}</a></li>' for j in range(3))
+    body_rows = "".join(
+        f"<tr><td>{tokens[2 * j]}</td><td>{tokens[2 * j + 1]}</td></tr>"
+        for j in range(BOILER_TABLE_ROWS)
+    )
+    return (
+        "<html><head><title>t</title></head><body>"
+        f"<nav><ul>{nav}</ul></nav>"
+        "<article>" + "".join(f"<p>{p}</p>" for p in paras) +
+        f"<table><tr><th>c0</th><th>c1</th></tr>{body_rows}</table></article>"
+        "<footer><p>copyright boilerplate footer line that is long enough to pass</p></footer>"
+        "</body></html>"
+    ).encode()
+
+
+_SYNTH_KINDS = {
+    # kind -> (builder, eligibility predicate over the token list)
+    "fin": (fin_hocr, lambda ts: len(ts) // 3 >= 1),
+    "dyn": (dyn_hocr, lambda ts: len(ts) // 3 >= 6),
+    "pro": (pro_hocr, lambda ts: len(ts) // 3 >= 2),
+    "boiler": (boiler_html, lambda ts: len(ts) >= 2 * BOILER_TABLE_ROWS),
+}
+
+
+def _synth_kind_batches(kind: str):
+    builder, ok = _SYNTH_KINDS[kind]
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             ids, urls, htmls = [], [], []
             for i in range(len(batch)):
                 toks = grid_tokens(batch["text"].iat[i])
-                if len(toks) // 3 < min_rows:
+                if not ok(toks):
                     continue
                 doc_id = int(batch["doc_id"].iat[i])
                 ids.append(doc_id)
@@ -205,11 +286,19 @@ def _fin_dyn_batches(kind: str):
 
 
 def fin_pages_from_documents(documents: DataFrame) -> DataFrame:
-    return _spread(documents).mapInPandas(_fin_dyn_batches("fin"), PAGES_SCHEMA)
+    return _spread(documents).mapInPandas(_synth_kind_batches("fin"), PAGES_SCHEMA)
 
 
 def dyn_pages_from_documents(documents: DataFrame) -> DataFrame:
-    return _spread(documents).mapInPandas(_fin_dyn_batches("dyn"), PAGES_SCHEMA)
+    return _spread(documents).mapInPandas(_synth_kind_batches("dyn"), PAGES_SCHEMA)
+
+
+def pro_pages_from_documents(documents: DataFrame) -> DataFrame:
+    return _spread(documents).mapInPandas(_synth_kind_batches("pro"), PAGES_SCHEMA)
+
+
+def boiler_pages_from_documents(documents: DataFrame) -> DataFrame:
+    return _spread(documents).mapInPandas(_synth_kind_batches("boiler"), PAGES_SCHEMA)
 
 
 def _synth_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
