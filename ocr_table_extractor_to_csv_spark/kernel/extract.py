@@ -33,7 +33,11 @@ from .layouts import (
 )
 from .professional import build_professional_grid
 
-HOCR_LAYOUTS = ("generic", "dynamic", "financial", "professional")
+HOCR_LAYOUTS = ("generic", "dynamic", "financial", "professional", "transformers")
+
+# layout_transformers.py:26 — the heuristic reconstruction's default target
+# column count when neither expected_n_cols nor max_columns is given
+MAX_MODEL_COLUMNS = 6
 
 
 @dataclass
@@ -147,6 +151,37 @@ def extract_document(
             grid, list(header_regexes) if header_regexes else None
         )
         header = header_row or []
+        return ExtractResult(
+            csv=csv_bytes(body, header),
+            n_rows=len(body),
+            n_cols=len(header),
+            header=list(header),
+            **base,
+        )
+
+    if layout == "transformers":
+        # The reference's 4th CLI layout (layout_transformers.py:446-565).
+        # Its FIRST reconstruction attempt is purely geometric — the generic
+        # pipeline with target_cols = expected_n_cols or MAX_MODEL_COLUMNS
+        # (:516-537) and a cell strip (cleaners.py:13-27 process_grid_data) —
+        # which we replicate exactly.  The LayoutLMv3-label compose
+        # (:548-560) requires torch (out of scope in this engine; documented
+        # divergence), so an empty heuristic grid falls through directly to
+        # the reference's LAST fallback: the spatial grid
+        # (build_grid_from_words == the professional grid builder, :551-559).
+        intervals = estimate_columns(
+            tok, lines, expected_n_cols=expected_n_cols or MAX_MODEL_COLUMNS
+        )
+        recs = assign_words_to_columns(tok, lines, intervals)
+        grid = merge_lines_into_rows(recs, tok, lines) if intervals else []
+        if grid:
+            header_row, body = detect_header_row(
+                grid, list(header_regexes) if header_regexes else None
+            )
+            header = header_row or []
+            body = [[c.strip() for c in r] for r in body]
+        else:
+            body, header = build_professional_grid(tok)
         return ExtractResult(
             csv=csv_bytes(body, header),
             n_rows=len(body),

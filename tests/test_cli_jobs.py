@@ -1,0 +1,74 @@
+"""Smoke tests for the thin CLI parity wrappers (VERDICT r01 #9):
+jobs/run_doc.py (reference run.py twin) and jobs/dataset_job.py (dataset_cli
+--pair twin with pair dedup)."""
+
+import json
+from pathlib import Path
+
+from ocr_table_extractor_to_csv_spark.kernel import extract_document
+from ocr_table_extractor_to_csv_spark.sources.fixtures import generate_fixture
+
+
+def test_run_doc_cli_matches_kernel(tmp_path):
+    from jobs.run_doc import main
+
+    row = generate_fixture("dyn", 0)
+    hocr = tmp_path / "page.hocr"
+    hocr.write_bytes(row["html"])
+    out = tmp_path / "out.csv"
+    rc = main([str(out), "--hocr_path", str(hocr), "--layout", "dynamic"])
+    assert rc == 0
+
+    res = extract_document(row["html"], layout="dynamic")
+    assert out.read_bytes() == res.csv
+    # dynamic also writes the numeric variant with the reference's naming
+    # (main.py:32-37: foo.csv -> foo.num.csv)
+    num = tmp_path / "out.num.csv"
+    assert num.exists() and num.read_bytes() == res.csv_numeric
+
+
+def test_run_doc_cli_bbox_and_layout_flags(tmp_path):
+    from jobs.run_doc import main
+
+    row = generate_fixture("bbox_crop", 0)
+    args = json.loads(row["args"])
+    hocr = tmp_path / "page.hocr"
+    hocr.write_bytes(row["html"])
+    out = tmp_path / "out.csv"
+    bbox = [str(v) for v in args["table_bbox"]]
+    rc = main([str(out), "--hocr_path", str(hocr), "--layout", "generic", "--bbox", *bbox])
+    assert rc == 0
+    res = extract_document(
+        row["html"], layout="generic", table_bbox=tuple(args["table_bbox"])
+    )
+    assert out.read_bytes() == res.csv
+
+
+def test_dataset_job_pair_dedup_and_jsonl(spark, tmp_path):
+    from jobs.dataset_job import parse_pairs, run_dataset
+
+    row = generate_fixture("generic4", 0)
+    h1 = tmp_path / "a.hocr"
+    h1.write_bytes(row["html"])
+    row2 = generate_fixture("generic4", 1)
+    h2 = tmp_path / "b.hocr"
+    h2.write_bytes(row2["html"])
+
+    # the duplicate (same url, same resolved path) must be dropped
+    # (dataset_cli.py:189-195)
+    pairs = parse_pairs(
+        [f"u://1:{h1}", f"u://1:{h1}", f"u://2:{h2}"]
+    )
+    assert len(pairs) == 2
+
+    out = str(tmp_path / "dataset")
+    examples = run_dataset(spark, out=out, pairs=pairs)
+    assert examples.count() == 2
+
+    lines = []
+    for p in Path(out).glob("*.json"):
+        lines += [json.loads(l) for l in p.read_text().splitlines()]
+    assert len(lines) == 2
+    assert {l["url"] for l in lines} == {"u://1", "u://2"}
+    assert all(l["error"] is None for l in lines)
+    assert all(len(l["words"]) == len(l["labels"]) > 0 for l in lines)

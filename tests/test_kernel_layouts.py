@@ -184,3 +184,57 @@ def test_overlap_band_expansion():
     lines = build_lines(tok)
     assert len(lines) == 1
     assert [tok.text[i] for i in lines[0].idx] == ["A", "B", "C"]
+
+
+def test_transformers_heuristic_fallback_six_cols():
+    """layout 'transformers' (ref layout_transformers.py:516-537): the
+    non-model heuristic reconstruction = generic pipeline with target_cols
+    defaulting to MAX_MODEL_COLUMNS=6 (ref :26, :516) plus a cell strip
+    (ref cleaners.py:13-27).  Hand derivation (columns.py:18-48: cuts at
+    gap centers, not coverage runs):
+      zero runs 148..499 (mean cut 323) and 532..899 (mean cut 715);
+      cuts [100, 323, 715, 932] -> intervals (100,323)(323,715)(715,932);
+      coerce to 6 (columns.py:50-70: split widest, ties -> first):
+        (323,715)w392 -> (323,519)(519,715); (100,323)w223 -> (100,211)(211,323);
+        (715,932)w217 -> (715,823)(823,932)
+      centers: Cuenta 124 -> col0, 2021 516 -> col2 (516 <= 519 inclusive),
+        2022 916 -> col5; second row 124/508/908 -> cols 0/2/5
+      header = first row (rows.py:146), body = row 2.
+    """
+    html = _doc(
+        [
+            ("Cuenta", 100, 100, 148, 130),
+            ("2021", 500, 100, 532, 130),
+            ("2022", 900, 100, 932, 130),
+            ("ventas", 100, 156, 148, 186),
+            ("11", 500, 156, 516, 186),
+            ("22", 900, 156, 916, 186),
+        ]
+    )
+    res = extract_document(html, layout="transformers")
+    assert res.layout == "transformers"
+    assert res.n_cols == 6 and res.n_rows == 1
+    assert res.csv == b"\xef\xbb\xbfCuenta,,2021,,,2022\r\nventas,,11,,,22\r\n"
+
+
+def test_transformers_spatial_grid_fallback():
+    """When the heuristic reconstruction yields no intervals the reference's
+    last non-model fallback is the spatial grid builder (ref
+    layout_transformers.py:551-559, build_grid_from_words == grid_builder.py
+    == the professional path).  Geometry chosen so estimate_columns drops
+    every interval (cuts [100,114,130] -> widths 14 and 16, both < 25,
+    columns.py:44-48), forcing the fallback; the output must equal the
+    professional layout's on the same tokens."""
+    words = [
+        ("a", 100, 100, 110, 130),
+        ("b", 120, 100, 130, 130),
+        ("c", 100, 156, 110, 186),
+        ("d", 120, 156, 130, 186),
+    ]
+    html = _doc(words)
+    res = extract_document(html, layout="transformers")
+    pro = extract_document(html, layout="professional")
+    assert res.layout == "transformers"
+    assert res.error is None
+    assert res.csv == pro.csv
+    assert res.n_rows == pro.n_rows and res.n_cols == pro.n_cols
