@@ -238,3 +238,161 @@ def test_transformers_spatial_grid_fallback():
     assert res.error is None
     assert res.csv == pro.csv
     assert res.n_rows == pro.n_rows and res.n_cols == pro.n_cols
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r01 #7: hand-derived byte pins for the families previously anchored
+# only by self-frozen goldens.  Every expected byte string below is computed
+# by hand from the cited reference semantics, independent of the kernel.
+# ---------------------------------------------------------------------------
+
+
+def _leader_words(label, y, value_tokens, value_x1):
+    """Dot-leader line (dyn family shape): label at x=100, 4px dots every
+    14px up to x=860, then value token(s) from value_x1 with 6-8px gaps."""
+    words = [(label, 100, y, 100 + 8 * len(label), y + 30)]
+    x = 100 + 8 * len(label) + 10
+    while x + 4 <= 860:
+        words.append((".", x, y, x + 4, y + 30))
+        x += 14
+    x = value_x1
+    for t in value_tokens:
+        w = 8 * len(t)
+        words.append((t, x, y, x + w, y + 30))
+        x += w + 8
+    return words
+
+
+def _label_with_dots(label):
+    n = ((860 - 4 - (100 + 8 * len(label) + 10)) // 14) + 1
+    return label + " ." * n
+
+
+def test_dynamic_global_gap_fallback_bytes():
+    """A8 global-gap fallback (column_model.py:171-196): 3 lines x 2 value
+    spans -> modal k=2 but every bucket has 3 (< max(5, 5%)) members
+    (column_model.py:152-154) -> fallback.  Hand derivation:
+      centers = [1210 x3, 1540 x3]; gaps sorted [0,0,0,0,330];
+      P90 = 0 + 0.6*330 = 198 -> thr = max(35,198) = 198;
+      cuts [1210, 1375, 1540] -> raw (1210,1375)(1375,1540), CONTIGUOUS so
+      the merge rule (iv.L - prev.R > 8 else fuse, column_model.py:190-194)
+      collapses them into ONE interval -> [(1186, 1564)] after pad 24.
+      So the fallback yields a single Valor_1 column and first-wins keeps
+      the LEFT value (assign_dynamic.py:61-66).  No year in the top band ->
+      default names (main.py:46-54).
+    """
+    words = []
+    for y, (lab, v1, v2) in zip(
+        (100, 156, 212), (("aaa", "11", "22"), ("bbb", "33", "44"), ("ccc", "55", "66"))
+    ):
+        words += _leader_words(lab, y, [v1], 1210 - 8)
+        words.append((v2, 1540 - 8, y, 1540 + 8, y + 30))
+    res = extract_document(_doc(words), layout="dynamic")
+    lab = _label_with_dots("aaa")[3:]  # shared dot suffix for 3-char labels
+    exp = (
+        "Cuenta,Valor_1\r\n"
+        f"aaa{lab},11\r\nbbb{lab},33\r\nccc{lab},55\r\n"
+    ).encode()
+    assert res.csv == b"\xef\xbb\xbf" + exp
+    assert res.n_cols == 2 and res.n_rows == 3
+
+
+def test_weird_numbers_numeric_csv_bytes():
+    """X2 `_to_number` quirks through the FULL dynamic csv-numeric path
+    (exporters.py:14-34): parens keep ')' after the character strip so
+    float() raises and the ORIGINAL text survives; '-' -> '0'; '$ 101,606'
+    -> '101606'; '1,234.50' -> '1234.5'; space thousands '1 234 567' ->
+    '1234567'.  Column inference falls back to one global interval
+    (centers spread 1210..1230 < thr 35 -> single cut pair, width 20 >= 10,
+    column_model.py:171-196)."""
+    specs = [
+        ("aa", ["(57,519)"], 1210 - 32, '"(57,519)"', "(57,519)"),
+        ("bb", ["1,234.50"], 1210 - 32, '"1,234.50"', "1234.5"),
+        ("cc", ["$", "101,606"], 1210 - 32, '"$ 101,606"', "101606"),
+        ("dd", ["-"], 1210 - 4, "-", "0"),
+        ("ee", ["1", "234", "567"], 1210 - 32, "1 234 567", "1234567"),
+        ("ff", ["42"], 1230 - 8, "42", "42"),
+    ]
+    words = []
+    for i, (lab, toks, x1, _, _) in enumerate(specs):
+        words += _leader_words(lab, 100 + 56 * i, toks, x1)
+    res = extract_document(_doc(words), layout="dynamic")
+    dots = _label_with_dots("aa")[2:]  # all labels are 2 chars
+    exp_csv = "Cuenta,Valor_1\r\n" + "".join(
+        f"{lab}{dots},{raw}\r\n" for (lab, _, _, raw, _) in specs
+    )
+    exp_num = "Cuenta,Valor_1\r\n" + "".join(
+        f"{lab}{dots},{num}\r\n" for (lab, _, _, _, num) in specs
+    )
+    # the numeric variant re-quotes: the surviving '(57,519)' still has a comma
+    exp_num = exp_num.replace(",(57,519)", ',"(57,519)"')
+    assert res.csv == b"\xef\xbb\xbf" + exp_csv.encode()
+    assert res.csv_numeric == b"\xef\xbb\xbf" + exp_num.encode()
+
+
+def test_multipage_rows_merge_across_pages_bytes():
+    """Multipage end-to-end: the row profile is GLOBAL over y (rows.py:8-80
+    has no page term), so records from different pages sharing a y-band
+    fuse into one row via the cell union (rows.py:76-78).  Hand derivation:
+      x cuts: zero run 150..399 -> cut 274 -> cols (100,274)(274,440);
+      y cuts: zero run 130..159 -> cut 144 -> rows (100,144)(144,190);
+      p1 line1 ['Name','Val'] + p2 line1 ['bar','7'] -> ['Name bar','Val 7'];
+      header = first row (rows.py:146)."""
+    html = (
+        '<?xml version="1.0"?><html><body>'
+        '<div class="ocr_page" title="bbox 0 0 1700 2200">'
+        '<span class="ocrx_word" title="bbox 100 100 150 130">Name</span>'
+        '<span class="ocrx_word" title="bbox 400 100 440 130">Val</span>'
+        '<span class="ocrx_word" title="bbox 100 160 130 190">foo</span>'
+        '<span class="ocrx_word" title="bbox 400 160 410 190">9</span></div>'
+        '<div class="ocr_page" title="bbox 0 0 1700 2200">'
+        '<span class="ocrx_word" title="bbox 100 100 130 130">bar</span>'
+        '<span class="ocrx_word" title="bbox 400 100 410 130">7</span></div>'
+        "</body></html>"
+    ).encode()
+    res = extract_document(html, layout="generic")
+    assert res.csv == b"\xef\xbb\xbfName bar,Val 7\r\nfoo,9\r\n"
+    assert res.n_rows == 1 and res.n_cols == 2
+
+
+def test_bbox_crop_end_to_end_bytes():
+    """F1 bbox crop through the whole generic pipeline: tokens outside the
+    crop never reach column/row estimation, so the output equals the
+    uncropped extraction of the inside tokens alone (parser crop,
+    main.py bbox plumb-through)."""
+    inside = [
+        ("Name", 100, 300, 150, 330),
+        ("Val", 400, 300, 440, 330),
+        ("foo", 100, 360, 130, 390),
+        ("9", 400, 360, 410, 390),
+    ]
+    noise = [
+        ("pagina", 100, 30, 160, 60),       # above the crop
+        ("pie", 100, 2120, 130, 2150),      # below the crop
+    ]
+    res = extract_document(
+        _doc(inside + noise), layout="generic", table_bbox=(50, 250, 1650, 2000)
+    )
+    pure = extract_document(_doc(inside), layout="generic")
+    assert res.csv == pure.csv == b"\xef\xbb\xbfName,Val\r\nfoo,9\r\n"
+    assert res.n_tokens == 4
+
+
+def test_generic_wrap_continuation_bytes():
+    """generic_wrap: a continuation line separated by a 2px zero-run is NOT
+    a row cut (rows.py zero-run threshold: runs must be > 2 px) so the wrap
+    fuses into its row.  Hand derivation:
+      x cuts: zero run 162..399 -> cut 280 -> cols (100,280)(280,416);
+      y profile: coverage 100-130, 132-162 (2px gap -> no cut), 188-218
+      (26px gap -> cut 174) -> rows (100,174)(174,218);
+      row0 = ['alpha','10'] + ['cont',''] -> ['alpha cont','10']."""
+    words = [
+        ("alpha", 100, 100, 140, 130),
+        ("10", 400, 100, 416, 130),
+        ("cont", 130, 132, 162, 162),
+        ("beta", 100, 188, 132, 218),
+        ("20", 400, 188, 416, 218),
+    ]
+    res = extract_document(_doc(words), layout="generic")
+    assert res.csv == b"\xef\xbb\xbfalpha cont,10\r\nbeta,20\r\n"
+    assert res.n_rows == 1 and res.n_cols == 2
