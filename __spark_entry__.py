@@ -637,13 +637,11 @@ def q_similarity_lsh(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir))
 
 
-def _oracle_similarity_lsh(
-    k: int = 5, query_mod: int = 50, n_planes: int = 6, n_tables: int = 8, dim: int = 64
-) -> str:
-    """DuckDB twin of lsh_topk: the hyperplane weights are the SAME driver-
-    precomputed literals (similarity.plane_weights), folded left-to-right via
-    list_reduce so the sign bits match Spark's sequential double fold
-    exactly; candidates, cosine re-rank and top-k are plain SQL."""
+def _sketch_ctes(n_planes: int = 6, n_tables: int = 8, dim: int = 64) -> str:
+    """Shared DuckDB CTEs (base, sk, bands) twinning multi_table_sketch:
+    the hyperplane weights are the SAME driver-precomputed literals
+    (similarity.plane_weights), folded left-to-right via list_reduce so the
+    sign bits match Spark's sequential double fold exactly."""
     bucket_cols = []
     for t in range(n_tables):
         terms = []
@@ -660,12 +658,21 @@ def _oracle_similarity_lsh(
         f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM sk" for t in range(n_tables)
     )
     return f"""
-WITH base AS (
+base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ), sk AS (
   SELECT vec_id, {", ".join(bucket_cols)} FROM base
-), bands AS ({band_union}),
+), bands AS ({band_union})"""
+
+
+def _oracle_similarity_lsh(
+    k: int = 5, query_mod: int = 50, n_planes: int = 6, n_tables: int = 8, dim: int = 64
+) -> str:
+    """DuckDB twin of lsh_topk: shared sketch CTEs + candidates, cosine
+    re-rank, and top-k in plain SQL."""
+    return f"""
+WITH {_sketch_ctes(n_planes, n_tables, dim)},
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM bands q JOIN bands c
@@ -692,6 +699,41 @@ FROM ranked WHERE rank <= {k}
 
 
 ORACLE_SIMILARITY_LSH = _oracle_similarity_lsh()
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-bucket candidates (never
+    all-pairs), exact cosine >= 0.35 confirms; hot buckets capped."""
+    return similarity.cosine_dup_pairs(_emb(spark, sf_dir))
+
+
+def _oracle_dedup_embedding(
+    threshold: float = 0.35, n_planes: int = 6, n_tables: int = 8, dim: int = 64,
+    max_bucket: int = 256,
+) -> str:
+    return f"""
+WITH {_sketch_ctes(n_planes, n_tables, dim)},
+capped AS (
+  SELECT vec_id, tbl, bucket FROM (
+    SELECT *, count(*) OVER (PARTITION BY tbl, bucket) AS bsz FROM bands
+  ) _c WHERE bsz <= {max_bucket}
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM capped a JOIN capped b
+    ON b.tbl = a.tbl AND b.bucket = a.bucket AND a.vec_id < b.vec_id
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM base
+), sims AS (
+  SELECT pairs.id_a, pairs.id_b,
+         list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+           / (a.nrm * b.nrm) AS cos
+  FROM pairs
+  JOIN n a ON a.vec_id = pairs.id_a AND a.nrm > 0
+  JOIN n b ON b.vec_id = pairs.id_b AND b.nrm > 0
+)
+SELECT id_a, id_b, round(cos, 4) AS cos_sim
+FROM sims WHERE cos >= {threshold}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -823,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "eval_numeric": q_eval_numeric,
@@ -850,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_lsh": ORACLE_MINHASH_LSH,
         "simhash": ORACLE_SIMHASH,
+        "dedup_embedding": _oracle_dedup_embedding(),
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "similarity_lsh": ORACLE_SIMILARITY_LSH,
         "eval_numeric": ORACLE_EVAL_NUMERIC,

@@ -211,13 +211,9 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     hashed = toks.select("doc_id", h.alias("h"))
     sums = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)).alias(f"s{b}")
+            F.expr(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)").alias(f"s{b}")
             for b in range(bits)
         ]
     )
-    packed = F.lit(0).cast("long")
-    for b in range(bits):
-        packed = packed + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sums.select("doc_id", packed.alias("simhash"))
+    packed = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(bits))
+    return sums.select("doc_id", F.expr(packed).alias("simhash"))

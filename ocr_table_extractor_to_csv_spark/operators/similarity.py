@@ -126,6 +126,85 @@ def multi_table_sketch(
     return embeddings.select("vec_id", *cols)
 
 
+def lsh_bands_multi(
+    embeddings: DataFrame,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """(vec_id, table, bucket) band list from the single-pass sketch."""
+    sk = multi_table_sketch(embeddings, n_planes, n_tables, dim)
+    return sk.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("table"), F.col(f"b{t}").alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int = DEFAULT_DIM,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-by-embedding path):
+    candidate pairs share any LSH (table, bucket); exact cosine >= threshold
+    confirms.  Never all-pairs — the same banded candidate join as
+    ``lsh_topk`` — and buckets with > ``max_bucket`` members are skipped per
+    band (hot-bucket guard, same rationale as dedup.minhash_lsh_pairs: an
+    M-member bucket emits M(M-1)/2 pairs).  Missed duplicates are the LSH
+    recall tradeoff; raise n_tables to trade compute for recall."""
+    from pyspark.sql.window import Window
+
+    bands = lsh_bands_multi(embeddings, n_planes, n_tables, dim)
+    bands = (
+        bands.withColumn("_bsz", F.count("*").over(Window.partitionBy("table", "bucket")))
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    base = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).where(F.col("nrm") > 0)
+    ea = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    eb = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("nrm").alias("n_b")
+    )
+    sim = (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))).alias("cos"),
+        )
+    )
+    return sim.where(F.col("cos") >= threshold).select(
+        "id_a", "id_b", F.round("cos", SIM_ROUND).alias("cos_sim")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -154,18 +233,7 @@ def lsh_topk(
     """
     from pyspark.sql.window import Window
 
-    sk = multi_table_sketch(embeddings, n_planes, n_tables, dim)
-    bands = sk.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("table"), F.col(f"b{t}").alias("bucket"))
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    bands = lsh_bands_multi(embeddings, n_planes, n_tables, dim)
 
     qb = bands.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
         F.col("vec_id").alias("query_id"), "table", "bucket"

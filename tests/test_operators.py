@@ -102,6 +102,35 @@ def test_lsh_topk_buckets_contain_identical_vectors(spark):
     assert found[(50, 0)] == 1.0 and found[(50, 1)] == 1.0
 
 
+def test_cosine_dup_pairs_identical_and_threshold(spark):
+    """Identical vectors share every bucket -> paired at cos 1.0; an
+    orthogonal vector never crosses the threshold even when co-bucketed."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (2, [1.0, 2.0, 3.0]),
+            (3, [2.0, 4.0, 6.0]),    # colinear -> cos 1.0
+            (4, [-3.0, 0.0, 1.0]),   # cos 0 vs 1/2/3
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {(r.id_a, r.id_b): r.cos_sim for r in similarity.cosine_dup_pairs(emb, dim=3).collect()}
+    assert rows[(1, 2)] == 1.0 and rows[(1, 3)] == 1.0 and rows[(2, 3)] == 1.0
+    assert not any(4 in p for p in rows)
+
+
+def test_cosine_dup_pairs_hot_bucket_capped(spark):
+    """500 identical vectors (one bucket per table) must be skipped by the
+    hot-bucket cap instead of emitting ~125k pairs; a small distinct pair
+    still links."""
+    hot = [(i, [1.0, 2.0, 3.0]) for i in range(500)]
+    pair = [(9001, [5.0, -1.0, 2.0]), (9002, [5.0, -1.0, 2.0])]
+    emb = spark.createDataFrame(hot + pair, "vec_id long, embedding array<float>")
+    rows = {(r.id_a, r.id_b) for r in similarity.cosine_dup_pairs(emb, dim=3).collect()}
+    assert (9001, 9002) in rows
+    assert len(rows) == 1, f"hot bucket leaked {len(rows) - 1} pairs"
+
+
 def test_lsh_recall_floor_vs_brute_force(spark):
     """Multi-table hyperplane LSH recall on the (near-random, worst-case)
     test embeddings — regression floor for the ANN path."""
