@@ -371,28 +371,10 @@ def q_extract_mixed_dispatch(spark, sf_dir):
     financial / dynamic / professional synthesized pages (sampled
     doc_id % 7 == 0), each row carrying its own layout column — the Spark
     analogue of the reference CLI's per-invocation --layout flag."""
-    from ocr_table_extractor_to_csv_spark.sources.pages import (
-        dyn_pages_from_documents,
-        fin_pages_from_documents,
-        pro_pages_from_documents,
-    )
+    from ocr_table_extractor_to_csv_spark.sources.pages import mixed_pages_from_documents
 
     docs = _docs(spark, sf_dir).where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
-    parts = []
-    for fn, layout in (
-        (pages_from_documents, "generic"),
-        (fin_pages_from_documents, "financial"),
-        (dyn_pages_from_documents, "dynamic"),
-        (pro_pages_from_documents, "professional"),
-    ):
-        parts.append(
-            fn(docs)
-            .withColumn("layout", F.lit(layout))
-            .withColumn("args", F.lit(None).cast("string"))
-        )
-    pages = parts[0]
-    for p in parts[1:]:
-        pages = pages.unionByName(p)
+    pages = mixed_pages_from_documents(docs)  # one documents scan, 4 families
     ext = extract_pages(pages.select("url", "html", "layout", "args"), per_row_dispatch=True)
     return ext.withColumn("doc_id", F.split(F.col("url"), "://")[1].cast("long")).select(
         "doc_id",

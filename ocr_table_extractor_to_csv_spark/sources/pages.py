@@ -297,6 +297,57 @@ def pro_pages_from_documents(documents: DataFrame) -> DataFrame:
     return _spread(documents).mapInPandas(_synth_kind_batches("pro"), PAGES_SCHEMA)
 
 
+MIXED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("html", BinaryType()),
+        StructField("layout", StringType()),
+        StructField("args", StringType()),
+    ]
+)
+
+_MIXED_KINDS = (
+    # (url prefix, builder, eligibility, layout name)
+    ("doc", grid_hocr, lambda ts: len(ts) >= 4, "generic"),
+    ("fin", fin_hocr, lambda ts: len(ts) // 3 >= 1, "financial"),
+    ("dyn", dyn_hocr, lambda ts: len(ts) // 3 >= 6, "dynamic"),
+    ("pro", pro_hocr, lambda ts: len(ts) // 3 >= 2, "professional"),
+)
+
+
+def mixed_pages_from_documents(documents: DataFrame) -> DataFrame:
+    """All four synthesized families in ONE scan of documents (one page row
+    per eligible (doc, kind)), each row carrying its layout for per-row
+    dispatch — the single-pass twin of unioning the four family sources
+    (which would scan documents once per family)."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, urls, htmls, layouts = [], [], [], []
+            for i in range(len(batch)):
+                toks = grid_tokens(batch["text"].iat[i])
+                doc_id = int(batch["doc_id"].iat[i])
+                for prefix, builder, ok, layout in _MIXED_KINDS:
+                    if not ok(toks):
+                        continue
+                    ids.append(doc_id)
+                    urls.append(f"{prefix}://{doc_id}")
+                    htmls.append(builder(toks))
+                    layouts.append(layout)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "url": urls,
+                    "html": htmls,
+                    "layout": layouts,
+                    "args": [None] * len(ids),
+                }
+            )
+
+    return _spread(documents).mapInPandas(gen, MIXED_SCHEMA)
+
+
 def boiler_pages_from_documents(documents: DataFrame) -> DataFrame:
     return _spread(documents).mapInPandas(_synth_kind_batches("boiler"), PAGES_SCHEMA)
 

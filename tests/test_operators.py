@@ -214,6 +214,43 @@ def test_streaming_incremental_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 10 + all_pages.count()
 
 
+def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: two availableNow passes over
+    an event-time-split file stream must converge to EXACTLY the batch
+    window+lag+cumsum result (the driver's `sessionize` oracle query)."""
+    from ocr_table_extractor_to_csv_spark.streaming.sessions import (
+        read_latest_sessions,
+        run_sessionize,
+    )
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n = ev.count()
+    # event-time median split (file-stream contract: later files carry later
+    # events)
+    cutoff = ev.orderBy("ts").limit(n // 2).agg(F.max("ts")).collect()[0][0]
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev.where(F.col("ts") <= cutoff).write.mode("append").parquet(events_dir)
+    run_sessionize(spark, events_dir, out_dir, ckpt)
+    ev.where(F.col("ts") > cutoff).write.mode("append").parquet(events_dir)
+    run_sessionize(spark, events_dir, out_dir, ckpt)
+
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in read_latest_sessions(spark, out_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in entry.queries()["sessionize"](spark, sf).collect()
+    }
+    assert got == want
+
+
 def test_functions_to_number_analytics(spark):
     from ocr_table_extractor_to_csv_spark.functions import to_number_col
 
