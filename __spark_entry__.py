@@ -683,6 +683,74 @@ FROM ranked WHERE rank <= {k}
 ORACLE_SIMILARITY_LSH = _oracle_similarity_lsh()
 
 
+def q_similarity_ivf(spark, sf_dir):
+    """IVF-flat ANN: sampled coarse quantizer (vec_id < 16), literal-array
+    list assignment in one scan, n_probe=4 inverted lists, exact re-rank."""
+    return similarity.ivf_topk(_emb(spark, sf_dir))
+
+
+def _oracle_similarity_ivf(
+    k: int = 5, query_mod: int = 50, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    """DuckDB twin of ivf_topk: centroids are recomputed from the same
+    deterministic ``vec_id < K`` rule; the assignment argmax folds dots
+    left-to-right (list_reduce) with the (score DESC, cid ASC) tie rule
+    matching Spark's array_position-first-max."""
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, e AS c,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS c_nrm
+  FROM base WHERE vec_id < {n_centroids}
+), scores AS (
+  SELECT b.vec_id, c.cid,
+         list_reduce(list_transform(generate_series(1, len(b.e)), i -> b.e[i] * c.c[i]),
+                     (a, b2) -> a + b2) / c.c_nrm AS s
+  FROM base b CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS r
+    FROM scores
+  ) _a WHERE r = 1
+), n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM base
+), q AS (
+  SELECT vec_id AS query_id, e AS qe, nrm AS q_nrm
+  FROM n WHERE vec_id % {query_mod} = 0 AND nrm > 0
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_sum(list_transform(generate_series(1, len(q.qe)), i -> q.qe[i] * c.c[i]))
+                        / (q.q_nrm * c.c_nrm) DESC, c.cid ASC) AS r
+    FROM q CROSS JOIN cent c
+  ) _p WHERE r <= {n_probe}
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.cid = p.cid
+  WHERE a.vec_id <> p.query_id
+), sims AS (
+  SELECT cand.query_id, cand.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.qe)), i -> q.qe[i] * c.e[i]))
+           / (q.q_nrm * c.nrm) AS cos
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN n c ON c.vec_id = cand.vec_id AND c.nrm > 0
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(cos, 4) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH-bucket candidates (never
     all-pairs), exact cosine >= 0.35 confirms; hot buckets capped."""
@@ -850,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
         "eval_numeric": q_eval_numeric,
         "sessionize": q_sessionize,
         "event_histogram": q_event_histogram,
@@ -878,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _oracle_dedup_embedding(),
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "similarity_lsh": ORACLE_SIMILARITY_LSH,
+        "similarity_ivf": _oracle_similarity_ivf(),
         "eval_numeric": ORACLE_EVAL_NUMERIC,
         "sessionize": ORACLE_SESSIONIZE,
         "event_histogram": ORACLE_EVENT_HISTOGRAM,

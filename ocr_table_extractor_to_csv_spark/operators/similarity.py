@@ -126,6 +126,106 @@ def multi_table_sketch(
     return embeddings.select("vec_id", *cols)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    query_mod: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat ANN: coarse quantizer -> inverted lists -> probe + re-rank.
+
+    The coarse quantizer uses SAMPLED centroids — the deterministic vectors
+    ``vec_id < n_centroids`` — collected once on the driver (K tiny rows; a
+    real deployment trains k-means offline the same way: the quantizer is
+    always known before the scan).  Centroids ship as literal arrays, so:
+
+      1. list assignment (argmax cosine over K literal dot products; ties ->
+         lowest centroid id) is ONE scan, pure column expressions, no
+         shuffle — the 10^9-vector side never touches Python or a join;
+      2. the sampled query side ranks centroids relationally and probes the
+         ``n_probe`` nearest inverted lists (expected candidate fraction
+         ~ n_probe/n_centroids);
+      3. exact cosine re-rank within the probed lists (same shape as
+         lsh_topk).
+
+    Fully SQL-expressible (the oracle recomputes centroids from the same
+    ``vec_id < K`` rule), making this the third, cross-checked ANN path
+    next to brute force (oracle) and multi-table LSH (scale alternative).
+    """
+    from pyspark.sql.window import Window
+
+    cents = (
+        embeddings.where(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in cents)
+
+    def score_sql(cvec: list) -> str:
+        # argmax score: <emb, c> / |c| — the row's own norm is constant
+        # across centroids, so it cancels out of the argmax
+        arr = ",".join(f"{x!r}D" for x in cvec)
+        nrm = sum(x * x for x in cvec) ** 0.5
+        return (
+            f"(aggregate(zip_with(embedding, slice(array({arr}), 1, size(embedding)), "
+            "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+            f"/ {nrm!r}D)"
+        )
+
+    cos_arr = "array(" + ",".join(score_sql(v) for (_cid, v) in cents) + ")"
+    # argmax with first-max (lowest cid) tie rule
+    cid_expr = f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
+    assign = embeddings.select("vec_id", F.expr(cid_expr).alias("cid"))
+
+    # query side: rank centroids relationally over the tiny sample
+    cent_df = F.broadcast(
+        embeddings.sparkSession.createDataFrame(
+            [(cid, v) for cid, v in cents], "cid int, c_emb array<double>"
+        ).select("cid", "c_emb", _norm(F.col("c_emb")).alias("c_nrm"))
+    )
+    base = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).where(F.col("nrm") > 0)
+    q = base.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qc = q.crossJoin(cent_df).select(
+        "query_id",
+        "cid",
+        (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("c_cos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probes = (
+        qc.withColumn("_r", F.row_number().over(wp)).where(F.col("_r") <= n_probe).select("query_id", "cid")
+    )
+
+    cand = (
+        probes.join(assign, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qvec = F.broadcast(q)
+    sim = (
+        cand.join(base, "vec_id")
+        .join(qvec, "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", SIM_ROUND).alias("cos_sim"))
+    )
+
+
 def lsh_bands_multi(
     embeddings: DataFrame,
     n_planes: int = 6,

@@ -131,6 +131,29 @@ def test_cosine_dup_pairs_hot_bucket_capped(spark):
     assert len(rows) == 1, f"hot bucket leaked {len(rows) - 1} pairs"
 
 
+def test_ivf_recall_floor_vs_brute_force(spark):
+    """IVF-flat (16 sampled centroids, probe 4 => ~25% of lists searched)
+    recall floor on the worst-case near-random test embeddings; clustered
+    real-world embeddings concentrate into lists and score far higher."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(emb, k=5).collect()}
+    iv = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(emb, k=5).collect()}
+    recall = len(bf & iv) / len(bf)
+    assert recall >= 0.38, recall  # measured 0.46
+
+
+def test_ivf_identical_vectors_found(spark):
+    """Identical vectors land in the same inverted list -> always found."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, 2.0]) for i in range(20)]
+        + [(50, [9.0, 9.0, 9.0]), (51, [9.0, 9.0, 9.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.ivf_topk(emb, k=3, query_mod=50, n_centroids=4, n_probe=2).collect()
+    found = {(r.query_id, r.neighbor_id): r.cos_sim for r in rows}
+    assert found[(50, 51)] == 1.0
+
+
 def test_lsh_recall_floor_vs_brute_force(spark):
     """Multi-table hyperplane LSH recall on the (near-random, worst-case)
     test embeddings — regression floor for the ANN path."""
