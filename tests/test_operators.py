@@ -274,6 +274,52 @@ def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_windowed_agg_watermark_and_late_drop(spark, tmp_path):
+    """Event-time tumbling windows with a watermark: append mode emits a
+    window only once it is finalized, a watermark-advancing straggler
+    flushes the open tail, and an event older than the watermark is DROPPED
+    (no duplicate/updated window rows).  The final log must equal the batch
+    groupBy(window) over exactly the non-late events."""
+    from ocr_table_extractor_to_csv_spark.streaming.windows import run_windowed_counts
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "win")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev.write.mode("append").parquet(events_dir)
+    run_windowed_counts(spark, events_dir, out_dir, ckpt)
+    n_pass1 = spark.read.parquet(out_dir).count()
+
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    straggler = spark.createDataFrame(
+        [(10**6, hi + __import__("datetime").timedelta(hours=2), 1, "straggler", 1.0, "{}")],
+        ev.schema,
+    )
+    too_late = spark.createDataFrame(
+        [(10**6 + 1, lo, 1, "late", 1.0, "{}")], ev.schema
+    )
+    straggler.unionByName(too_late).write.mode("append").parquet(events_dir)
+    run_windowed_counts(spark, events_dir, out_dir, ckpt)
+
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["w"].start, r.event_type): (r.n, r.sum_value)
+        for r in ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    }
+    assert got == want, f"sizes {len(got)} vs {len(want)}"
+    assert n_pass1 < len(want), "pass 1 must hold back the open window tail"
+    assert not any(t == "late" for (_, t) in got), "late event must be dropped"
+    assert not any(t == "straggler" for (_, t) in got), "straggler window stays open"
+
+
 def test_functions_to_number_analytics(spark):
     from ocr_table_extractor_to_csv_spark.functions import to_number_col
 

@@ -66,6 +66,19 @@ def test_similarity_topk_no_python_udf_in_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_mixed_dispatch_single_documents_scan(spark):
+    """The 4-family mixed-dispatch query must synthesize every family from
+    ONE scan of documents (a per-family union would scan it 4x)."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["extract_mixed_dispatch"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(spark, df)
+    n = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    assert n == 1, f"documents scanned {n} times"
+
+
 def test_lsh_topk_single_sketch_scan(spark, tmp_path_factory):
     """r01 verdict #3: the 8-table union scanned embeddings once PER table.
     The single-pass sketch must read the parquet a bounded number of times
