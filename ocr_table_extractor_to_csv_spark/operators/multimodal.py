@@ -97,6 +97,72 @@ def media_features(media: DataFrame, kind_col: str = "kind") -> DataFrame:
     return media.select("media_id", kind_col, "payload").mapInArrow(fn, MEDIA_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, src_w int, src_h int, dst_w int, dst_h int, "
+    "pixels binary, error string"
+)
+
+
+def _decode_dims_and_resize(payload: bytes, dst_w: int, dst_h: int):
+    """STUB RESIZER — deterministic byte-grid nearest-neighbor subsample in
+    place of a real codec.  The fake treats the payload as a square
+    row-major u8 "image" (side = floor(sqrt(n))), so output bytes are a
+    pure function of the input; a real implementation decodes with
+    Pillow/ffmpeg and resizes, keeping this exact signature + failure
+    contract (raises on undecodable/empty payload)."""
+    if not payload:
+        raise ValueError("empty media payload")
+    n = len(payload)
+    side = int(n**0.5)
+    if side < 1:
+        raise ValueError("payload too small to decode")
+    arr = np.frombuffer(payload[: side * side], dtype=np.uint8).reshape(side, side)
+    ys = (np.arange(dst_h) * side) // dst_h
+    xs = (np.arange(dst_w) * side) // dst_w
+    return side, side, arr[np.ix_(ys, xs)].tobytes()
+
+
+def resize_media(media: DataFrame, dst_w: int = 32, dst_h: int = 32) -> DataFrame:
+    """media(media_id, payload BINARY) -> fixed-size "pixel" rows.
+
+    The scale-relevant property being exercised: output batches are
+    dst_w x dst_h per row REGARDLESS of input size, so a resize stage
+    re-normalizes skewed byte-proportional partitions — downstream stages
+    can safely repartition by count."""
+
+    def fn(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("media_id").to_pylist()
+            payloads = b.column("payload").to_pylist()
+            sw, sh, px, errs = [], [], [], []
+            for p in payloads:
+                try:
+                    w, h, out = _decode_dims_and_resize(p or b"", dst_w, dst_h)
+                    sw.append(w)
+                    sh.append(h)
+                    px.append(out)
+                    errs.append(None)
+                except Exception as exc:
+                    sw.append(None)
+                    sh.append(None)
+                    px.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(sw, pa.int32()),
+                    pa.array(sh, pa.int32()),
+                    pa.array([dst_w] * len(ids), pa.int32()),
+                    pa.array([dst_h] * len(ids), pa.int32()),
+                    pa.array(px, pa.binary()),
+                    pa.array(errs, pa.string()),
+                ],
+                names=["media_id", "src_w", "src_h", "dst_w", "dst_h", "pixels", "error"],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(fn, RESIZE_SCHEMA)
+
+
 def frame_sample(media: DataFrame, k: int = 8) -> DataFrame:
     """media(media_id, payload BINARY) -> frame offset/size rows."""
 

@@ -197,6 +197,25 @@ def test_multimodal_features_deterministic(spark):
     assert rows[3].error is not None and rows[3].features is None  # empty payload -> error row
 
 
+def test_multimodal_resize_fixed_output(spark):
+    """Resize plumbing: output is dst_w x dst_h bytes per row regardless of
+    input size (the skew-renormalizing property); empty payload -> error
+    row; deterministic stub decode."""
+    media = spark.createDataFrame(
+        [(1, bytes(range(256))), (2, b"\x07" * 10_000), (3, b"")],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in multimodal.resize_media(media, 8, 4).collect()}
+    assert rows[1].src_w == 16 and len(bytes(rows[1].pixels)) == 8 * 4
+    # 16x16 grid of 0..255: row-major value = 16*y + x; nearest-neighbor
+    # sample rows y=(0,4,8,12), cols x=(0,2,...,14)
+    exp = bytes((16 * y + x) for y in (0, 4, 8, 12) for x in range(0, 16, 2))
+    assert bytes(rows[1].pixels) == exp
+    assert rows[2].src_w == 100 and len(bytes(rows[2].pixels)) == 32
+    assert set(bytes(rows[2].pixels)) == {7}
+    assert rows[3].error is not None and rows[3].pixels is None
+
+
 def test_multimodal_frame_sampling(spark):
     media = spark.createDataFrame(
         [(1, b"x" * 100)], "media_id long, payload binary"
