@@ -95,7 +95,7 @@ def main() -> None:
 
     spark = get_spark(app_name="dataset-builder")
     pages = spark.read.parquet(args.pages) if args.pages else None
-    examples = run_dataset(
+    run_dataset(
         spark,
         out=args.out,
         pairs=parse_pairs(args.pair),
@@ -104,8 +104,14 @@ def main() -> None:
         header_regexes=args.header_regex,
         max_columns=args.max_columns,
     )
-    n_err = examples.where("error IS NOT NULL").count()
-    print(f"dataset written to {args.out}: {examples.count()} examples, {n_err} errors")
+    # summarize from the WRITTEN output (re-counting the returned DataFrame
+    # would re-run the whole extraction pipeline per action)
+    stats = (
+        spark.read.json(args.out)
+        .selectExpr("count(*) AS n", "count_if(error IS NOT NULL) AS n_err")
+        .collect()[0]
+    )
+    print(f"dataset written to {args.out}: {stats.n} examples, {stats.n_err} errors")
     spark.stop()
 
 

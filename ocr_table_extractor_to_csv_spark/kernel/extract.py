@@ -163,8 +163,10 @@ def extract_document(
         # The reference's 4th CLI layout (layout_transformers.py:446-565).
         # Its FIRST reconstruction attempt is purely geometric — the generic
         # pipeline with target_cols = expected_n_cols or MAX_MODEL_COLUMNS
-        # (:516-537) and a cell strip (cleaners.py:13-27 process_grid_data) —
-        # which we replicate exactly.  The LayoutLMv3-label compose
+        # (:516-537) and a cell strip over the BODY rows only (the reference
+        # passes header_row to rows_to_csv unstripped, :532-537;
+        # process_grid_data = cleaners.py:13-27) — replicated exactly.
+        # The LayoutLMv3-label compose
         # (:548-560) requires torch (out of scope in this engine; documented
         # divergence), so an empty heuristic grid falls through directly to
         # the reference's LAST fallback: the spatial grid

@@ -116,13 +116,20 @@ def multi_table_sketch(
     n_planes projections are plain JVM column expressions over literal
     weight arrays; no shuffle, no Python, one pass over the table."""
     cols = []
+    guard = (
+        f"CASE WHEN size(embedding) > {dim} THEN "
+        f"CAST(raise_error('embedding dim ' || size(embedding) || "
+        f"' exceeds sketch dim {dim}: pass the real dim') AS BIGINT) ELSE "
+    )
     for t in range(n_tables):
         terms = " + ".join(
             f"(CASE WHEN {_proj_sql(plane_weights(t * 1000 + p, dim))} > CAST(0.0 AS DOUBLE) "
             f"THEN {1 << p}L ELSE 0L END)"
             for p in range(n_planes)
         )
-        cols.append(F.expr(terms).alias(f"b{t}"))
+        # guard: a vector LONGER than dim would zip with NULL weights and
+        # silently collapse every vector into bucket 0 — fail loudly instead
+        cols.append(F.expr(f"{guard}({terms}) END").alias(f"b{t}"))
     return embeddings.select("vec_id", *cols)
 
 
@@ -161,6 +168,11 @@ def ivf_topk(
         .collect()
     )
     cents = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in cents)
+    if not cents:
+        raise ValueError(
+            f"no centroid vectors: no rows with vec_id < {n_centroids} "
+            "(pass a quantizer-compatible n_centroids for this id space)"
+        )
 
     def score_sql(cvec: list) -> str:
         # argmax score: <emb, c> / |c| — the row's own norm is constant
@@ -174,8 +186,14 @@ def ivf_topk(
         )
 
     cos_arr = "array(" + ",".join(score_sql(v) for (_cid, v) in cents) + ")"
-    # argmax with first-max (lowest cid) tie rule
-    cid_expr = f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
+    # argmax with first-max (lowest cid) tie rule; array_position yields the
+    # 1-based POSITION in the sorted centroid list — map it back to the
+    # actual centroid vec_id so sparse/offset id spaces still join the
+    # probe side correctly
+    cid_arr = "array(" + ",".join(str(cid) for (cid, _v) in cents) + ")"
+    cid_expr = (
+        f"CAST(element_at({cid_arr}, CAST(array_position({cos_arr}, array_max({cos_arr})) AS INT)) AS INT)"
+    )
     assign = embeddings.select("vec_id", F.expr(cid_expr).alias("cid"))
 
     # query side: rank centroids relationally over the tiny sample

@@ -50,6 +50,12 @@ def write_batch(
     passes commit as SEPARATE actions — each executing under its own Arrow
     batch-size conf (the r01 giants-conf leak fix) — without a re-run ever
     duplicating rows of either pass.
+
+    Layout note: ``extracted_path`` is partitioned (batch_id, pass); a
+    directory written by a pre-``pass`` version of this engine has a
+    different partition depth and cannot be mixed — write new batches to a
+    fresh root (Spark fails loudly with "conflicting directory structures"
+    otherwise).
     """
     spark = extracted.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

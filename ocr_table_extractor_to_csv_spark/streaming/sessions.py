@@ -47,8 +47,8 @@ def sessionize_stream(events: DataFrame, gap_sec: float = 1800.0) -> DataFrame:
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"], kind="stable"
         )
-        for t in batch["ts"]:
-            epoch = t.timestamp()
+        for epoch in batch["epoch"]:
+            epoch = float(epoch)
             if last_epoch is None or epoch - last_epoch > gap:
                 n_sessions += 1
             last_epoch = epoch
@@ -59,7 +59,16 @@ def sessionize_stream(events: DataFrame, gap_sec: float = 1800.0) -> DataFrame:
         )
 
     return (
-        events.select("user_id", "event_id", "ts")
+        # gaps computed on a JVM-side epoch column (unix_timestamp semantics,
+        # session timezone) — pandas Timestamp.timestamp() treats tz-naive
+        # values as UTC, which diverges from the batch window query across
+        # DST transitions
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch"),
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

@@ -142,6 +142,33 @@ def test_ivf_recall_floor_vs_brute_force(spark):
     assert recall >= 0.38, recall  # measured 0.46
 
 
+def test_ivf_sparse_offset_id_space(spark):
+    """The inverted-list join must use actual centroid vec_ids, not list
+    positions: with a gapped id space below n_centroids (ids 1,3 only),
+    assignment and probing still line up and identical vectors are found."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0])]
+        + [(i, [0.0, float(i % 3), 1.0]) for i in range(10, 30)]
+        + [(50, [4.0, 4.0, 0.0]), (51, [4.0, 4.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = similarity.ivf_topk(emb, k=2, query_mod=50, n_centroids=4, n_probe=2).collect()
+    found = {(r.query_id, r.neighbor_id): r.cos_sim for r in rows}
+    assert found[(50, 51)] == 1.0
+
+
+def test_sketch_dim_overflow_raises(spark):
+    """A vector longer than the sketch dim must fail loudly (zip_with would
+    otherwise NULL-pad and silently collapse every vector into bucket 0)."""
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception, match="exceeds sketch dim"):
+        similarity.multi_table_sketch(emb, dim=4).collect()
+
+
 def test_ivf_identical_vectors_found(spark):
     """Identical vectors land in the same inverted list -> always found."""
     emb = spark.createDataFrame(
