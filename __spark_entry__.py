@@ -421,6 +421,17 @@ def q_token_count(spark, sf_dir):
 ORACLE_TOKEN_COUNT = f"SELECT doc_id, CAST(len({_TOKS_SQL}) AS INT) AS n_tokens FROM documents"
 
 
+def q_token_count_bpe(spark, sf_dir):
+    return textstats.token_count_bpe(_docs(spark, sf_dir))
+
+
+_BPE_SQL = textstats.BPE_TOKEN_RE.replace("'", "''")
+ORACLE_TOKEN_COUNT_BPE = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), "
+    f"'{_BPE_SQL}')) AS INT) AS n_bpe_tokens FROM documents"
+)
+
+
 def q_text_quality(spark, sf_dir):
     return textstats.text_quality(_docs(spark, sf_dir))
 
@@ -908,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fixture_boiler": q_extract_fixture_boiler,
         "extract_mixed_dispatch": q_extract_mixed_dispatch,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -937,6 +949,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_fixture_boiler": ORACLE_BOILER,
         "extract_mixed_dispatch": _oracle_mixed_dispatch(),
         "token_count": ORACLE_TOKEN_COUNT,
+        "token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": _oracle_lang_id(),
         "fingerprint": ORACLE_FINGERPRINT,

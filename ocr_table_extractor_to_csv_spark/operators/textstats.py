@@ -41,6 +41,20 @@ def token_count(documents: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pretokenizer approximation (contractions, space-prefixed word /
+# number / punctuation runs) — the "BPE-ish" token ESTIMATOR a data pipeline
+# uses for budget accounting before real tokenization.  Kept to a regex
+# subset that Java (Spark) and RE2 (DuckDB) treat identically.
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+
+
+def token_count_bpe(documents: DataFrame) -> DataFrame:
+    n = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_TOKEN_RE), F.lit(0))
+    )
+    return documents.select("doc_id", n.alias("n_bpe_tokens"))
+
+
 def _stop_hits(toks: Column, lang: str) -> Column:
     arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))

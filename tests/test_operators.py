@@ -12,6 +12,20 @@ from ocr_table_extractor_to_csv_spark.operators import dedup, multimodal, simila
 from ocr_table_extractor_to_csv_spark.operators.evaluation import numeric_metrics
 
 
+def test_bpe_token_count_known_strings(spark):
+    """BPE-ish estimator on hand-tokenized strings:
+    "it's 42 ok!" -> [it]['s][ 42][ ok][!] = 5; "hello" -> 1; "" -> 0;
+    "don't stop" -> [don]['t][ stop] = 3."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import token_count_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "it's 42 ok!"), (2, "hello"), (3, ""), (4, "don't stop")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_bpe_tokens for r in token_count_bpe(docs).collect()}
+    assert got == {1: 5, 2: 1, 3: 0, 4: 3}
+
+
 def test_exact_dedup_groups(spark):
     docs = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "other text")],
