@@ -66,6 +66,20 @@ def test_similarity_topk_no_python_udf_in_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ivf_and_embedding_dedup_jvm_only(spark):
+    """The IVF assignment and embedding-dedup pipelines must stay JVM-side
+    column expressions end to end — no Python/Arrow eval nodes."""
+    from ocr_table_extractor_to_csv_spark.operators.similarity import (
+        cosine_dup_pairs,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for df in (ivf_topk(emb), cosine_dup_pairs(emb)):
+        plan = _formatted(spark, df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_mixed_dispatch_single_documents_scan(spark):
     """The 4-family mixed-dispatch query must synthesize every family from
     ONE scan of documents (a per-family union would scan it 4x)."""
