@@ -36,6 +36,35 @@ def test_exact_dedup_groups(spark):
     assert rows[fp].n_docs == 2 and rows[fp].keeper_id == 1
 
 
+def test_shingles_zipwith_chain_matches_python_reference(spark):
+    """The zip_with-chain shingle builder must equal the definitional
+    Python n-gram construction for n=2..4, including short docs (< n
+    tokens emit the full join), duplicate grams (distinct), and empties."""
+    texts = [
+        (1, "a b c d e"),
+        (2, "x y"),            # shorter than n for n>=3
+        (3, "w"),              # single token
+        (4, ""),               # empty -> no rows
+        (5, "p q p q p q"),    # duplicate grams collapse
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    for n in (2, 3, 4):
+        got = {
+            (r.doc_id, r.shingle) for r in dedup.shingles(docs, n=n).collect()
+        }
+        want = set()
+        for doc_id, text in texts:
+            toks = text.split() if text else []
+            if not toks:
+                grams = [""]
+            elif len(toks) >= n:
+                grams = ["_".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            else:
+                grams = ["_".join(toks)]
+            want |= {(doc_id, g) for g in set(grams) if g != ""}
+        assert got == want, f"n={n}"
+
+
 def test_shingles_and_jaccard_identical_docs(spark):
     docs = spark.createDataFrame(
         [(0, "a b c d e f"), (17, "a b c d e f"), (34, "x y z w v u")],
