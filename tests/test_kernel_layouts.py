@@ -396,3 +396,31 @@ def test_generic_wrap_continuation_bytes():
     res = extract_document(_doc(words), layout="generic")
     assert res.csv == b"\xef\xbb\xbfalpha cont,10\r\nbeta,20\r\n"
     assert res.n_rows == 1 and res.n_cols == 2
+
+
+def test_html_entities_and_malformed_markup():
+    """Boilerplate path robustness pins: entities decode through the lenient
+    HTML parser (&amp; &lt; &quot; &#65; &nbsp;), table cells keep decoded
+    text through the byte-exact CSV writer, and unclosed tags still yield
+    content blocks instead of an error row."""
+    html = (
+        b"<html><body><nav><ul><li><a href='/x'>skip me entirely</a></li></ul></nav>"
+        b"<article><p>Tom &amp; Jerry &lt;3 cartoons &quot;forever&quot; &#65; &nbsp;end of paragraph here</p>"
+        b"<table><tr><th>a&amp;b</th><th>c</th></tr><tr><td>1 &lt; 2</td><td>x</td></tr>"
+        b"<tr><td>d</td><td>e</td></tr></table></article></body></html>"
+    )
+    res = extract_document(html, layout="auto")
+    assert res.error is None and res.layout == "html"
+    assert res.main_text == 'Tom & Jerry <3 cartoons "forever" A end of paragraph here'
+    assert res.csv == b"\xef\xbb\xbfa&b,c\r\n1 < 2,x\r\nd,e\r\n"
+
+    bad = (
+        b"<html><body><article><p>alpha beta gamma delta epsilon zeta eta theta iota</p>"
+        b"<div><p>unclosed paragraph with plenty of text to keep</div></body>"
+    )
+    r2 = extract_document(bad, layout="auto")
+    assert r2.error is None
+    assert r2.main_text == (
+        "alpha beta gamma delta epsilon zeta eta theta iota\n\n"
+        "unclosed paragraph with plenty of text to keep"
+    )
