@@ -572,6 +572,42 @@ FROM bands a JOIN bands b
 ORACLE_MINHASH_LSH = _oracle_minhash_lsh()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate pairs (iterative
+    min-label propagation run to convergence in Spark)."""
+    return dedup.dedup_clusters(_docs(spark, sf_dir))
+
+
+def _oracle_dedup_clusters(iters: int = 12) -> str:
+    """Min-label propagation unrolled ``iters`` times in SQL — exact as long
+    as every component's diameter is <= iters (near-dup components are
+    clique-ish; sf graphs converge in 2-3; Spark-side convergence is checked,
+    not assumed, so a mismatch would surface as a driver red, not silence)."""
+    # AS MATERIALIZED everywhere: DuckDB inlines plain CTEs, which would
+    # re-evaluate the whole LSH pipeline once per reference — exponential
+    # across the unrolled iterations
+    body = ""
+    for i in range(1, iters + 1):
+        body += f""",
+l{i} AS MATERIALIZED (
+  SELECT l.node, least(l.label, coalesce(min(r.label), l.label)) AS label
+  FROM l{i - 1} l
+  LEFT JOIN edges e ON e.src = l.node
+  LEFT JOIN l{i - 1} r ON r.node = e.dst
+  GROUP BY l.node, l.label
+)"""
+    return f"""
+WITH pr AS MATERIALIZED ({ORACLE_MINHASH_LSH}),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pr
+),
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label FROM documents){body}
+SELECT node AS doc_id, label AS cluster_id, node = label AS is_keeper FROM l{iters}
+"""
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -926,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
         "similarity_topk": q_similarity_topk,
@@ -956,6 +993,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_lsh": ORACLE_MINHASH_LSH,
+        "dedup_clusters": _oracle_dedup_clusters(),
         "simhash": ORACLE_SIMHASH,
         "dedup_embedding": _oracle_dedup_embedding(),
         "similarity_topk": ORACLE_SIMILARITY_TOPK,

@@ -203,6 +203,63 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) — min-id connected components over candidate
+    pairs; keeper = the row with doc_id == cluster_id.
+
+    Min-label propagation: each iteration joins current labels across edges
+    and takes the min of (own label, neighbors' labels); converges in
+    O(component diameter) iterations (near-dup components are clique-ish,
+    so typically 2-3).  Each iteration is one shuffle join + one groupBy —
+    the standard DataFrame CC shape at 10^9 nodes (large-star/small-star
+    halves iteration count if diameters ever get long).  Iterates UNTIL NO
+    LABEL CHANGES (checked with a cheap agg per iteration), capped at
+    ``max_iter`` with a loud error rather than silently-wrong clusters.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate the iterative lineage
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .where(F.col("o.label") != F.col("n.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def dedup_clusters(documents: DataFrame) -> DataFrame:
+    """Near-dup clusters over the MinHash-LSH candidate pairs: every doc
+    labeled with its component's min doc_id; keeper = doc_id == cluster_id."""
+    pairs = minhash_lsh_pairs(documents)
+    cc = connected_components(documents.select("doc_id"), pairs)
+    return cc.withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")))
+
+
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """32-bit SimHash over tokens (counted, not distinct).
 

@@ -104,6 +104,32 @@ def test_minhash_hot_bucket_capped(spark):
     assert all(s.n_docs_in_hot == 1000 for s in stats.values())
 
 
+def test_connected_components_long_path_and_cycle(spark):
+    """The convergence loop must handle diameters far beyond the clique-ish
+    typical case: a 15-node path (diameter 14), a 3-cycle, and singletons."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 16)] + [(20,), (21,), (22,), (30,)], "doc_id long")
+    path = [(i, i + 1) for i in range(1, 15)]
+    cycle = [(20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(path + cycle, "id_a long, id_b long")
+    cc = {r.doc_id: r.cluster_id for r in dedup.connected_components(nodes, pairs).collect()}
+    assert all(cc[i] == 1 for i in range(1, 16))
+    assert cc[20] == cc[21] == cc[22] == 20
+    assert cc[30] == 30
+
+
+def test_dedup_clusters_keeper_semantics(spark):
+    docs = spark.createDataFrame(
+        [(5, "the quick brown fox jumps over the dog"),
+         (9, "the quick brown fox jumps over the dog"),
+         (2, "entirely different words appear in this one")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.dedup_clusters(docs).collect()}
+    assert rows[5].cluster_id == 5 and rows[5].is_keeper
+    assert rows[9].cluster_id == 5 and not rows[9].is_keeper
+    assert rows[2].cluster_id == 2 and rows[2].is_keeper
+
+
 def test_simhash_identical_equal_and_bounded(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps zeta")],
