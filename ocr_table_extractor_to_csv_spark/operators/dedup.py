@@ -224,6 +224,10 @@ def connected_components(
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # materialize the (small) edge list once: every iteration joins against
+    # it, and leaving it lazy would re-run the upstream candidate pipeline
+    # (e.g. the whole MinHash-LSH) once per iteration
+    edges = edges.localCheckpoint()
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
         neigh = (
