@@ -212,14 +212,15 @@ def connected_components(
     """(doc_id, cluster_id) — min-id connected components over candidate
     pairs; keeper = the row with doc_id == cluster_id.
 
-    Min-label propagation: each iteration joins current labels across edges
-    and takes the min of (own label, neighbors' labels); converges in
-    O(component diameter) iterations (near-dup components are clique-ish,
-    so typically 2-3).  Each iteration is one shuffle join + one groupBy —
-    the standard DataFrame CC shape at 10^9 nodes (large-star/small-star
-    halves iteration count if diameters ever get long).  Iterates UNTIL NO
-    LABEL CHANGES (checked with a cheap agg per iteration), capped at
-    ``max_iter`` with a loud error rather than silently-wrong clusters.
+    Min-label propagation WITH pointer doubling: each iteration takes the
+    min over (own label, neighbors' labels, label-of-label).  The shortcut
+    join halves remaining path lengths, so convergence is O(log diameter)
+    iterations instead of O(diameter) — the lever that matters when a
+    near-dup chain is long (clique-ish components still converge in 2-3).
+    Each iteration is two shuffle joins + one groupBy — the standard
+    DataFrame CC shape at 10^9 nodes.  Iterates UNTIL NO LABEL CHANGES
+    (checked per iteration), capped at ``max_iter`` with a loud error
+    rather than silently-wrong clusters.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -229,17 +230,26 @@ def connected_components(
     # (e.g. the whole MinHash-LSH) once per iteration
     edges = edges.localCheckpoint()
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # pointer doubling: label-of-label shortcut halves path lengths
+        parents = labels.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
         new_labels = (
             labels.join(neigh, labels.node == neigh.src, "left")
+            .join(parents, labels.label == parents.p_node, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nlabel"), F.col("label")),
+                    F.coalesce(F.col("p_label"), F.col("label")),
+                ).alias("label"),
             )
         )
         new_labels = new_labels.localCheckpoint()  # truncate the iterative lineage
@@ -252,6 +262,7 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            connected_components.last_iters = it + 1
             return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 

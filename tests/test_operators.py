@@ -115,6 +115,9 @@ def test_connected_components_long_path_and_cycle(spark):
     assert all(cc[i] == 1 for i in range(1, 16))
     assert cc[20] == cc[21] == cc[22] == 20
     assert cc[30] == 30
+    # pointer doubling: O(log diameter) rounds, not O(diameter) — the
+    # 14-hop path must converge well under 14 iterations
+    assert dedup.connected_components.last_iters <= 7, dedup.connected_components.last_iters
 
 
 def test_dedup_clusters_keeper_semantics(spark):
