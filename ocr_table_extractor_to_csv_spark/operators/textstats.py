@@ -44,8 +44,10 @@ def token_count(documents: DataFrame) -> DataFrame:
 # GPT-2-style pretokenizer approximation (contractions, space-prefixed word /
 # number / punctuation runs) — the "BPE-ish" token ESTIMATOR a data pipeline
 # uses for budget accounting before real tokenization.  Kept to a regex
-# subset that Java (Spark) and RE2 (DuckDB) treat identically.
-BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+# subset that Java (Spark) and RE2 (DuckDB) treat identically: whitespace is
+# an EXPLICIT class, not \s (Java's \s includes vertical tab, RE2's does
+# not — a real divergence on OCR-ish text).
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^ \t\n\r\f\x0Ba-z0-9']+"
 
 
 def token_count_bpe(documents: DataFrame) -> DataFrame:

@@ -29,9 +29,14 @@ def write_bucketed(
     bucket_col: str = "url",
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
-    """External parquet table bucketed (and sorted) by ``bucket_col``."""
+    """External parquet table bucketed (and sorted) by ``bucket_col``.
+
+    Repartitions on the bucket column first: without it every upstream task
+    writes one file per bucket it touches (tasks x n_buckets small files),
+    which taxes every later bucket-zip read with file-open overhead."""
     (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
@@ -44,7 +49,8 @@ def bucketed_pending(
     spark: SparkSession, pages_table: str, progress_table: str
 ) -> DataFrame:
     """pages LEFT ANTI JOIN progress(done) ON url over same-bucketed tables:
-    shuffle-free when both tables share the bucket spec."""
-    pages = spark.table(pages_table)
-    done = spark.table(progress_table).where(F.col("status") == "done").select("url")
-    return pages.join(done, "url", "left_anti")
+    shuffle-free when both tables share the bucket spec.  Delegates to the
+    canonical resume predicate so the two resume paths cannot drift."""
+    from .resume import pending_pages
+
+    return pending_pages(spark.table(pages_table), spark.table(progress_table))

@@ -19,11 +19,25 @@ def test_bpe_token_count_known_strings(spark):
     from ocr_table_extractor_to_csv_spark.operators.textstats import token_count_bpe
 
     docs = spark.createDataFrame(
-        [(1, "it's 42 ok!"), (2, "hello"), (3, ""), (4, "don't stop")],
+        [(1, "it's 42 ok!"), (2, "hello"), (3, ""), (4, "don't stop"),
+         (5, "a\x0bb")],  # vertical tab: Java \s vs RE2 \s divergence trap
         "doc_id long, text string",
     )
     got = {r.doc_id: r.n_bpe_tokens for r in token_count_bpe(docs).collect()}
-    assert got == {1: 5, 2: 1, 3: 0, 4: 3}
+    assert got == {1: 5, 2: 1, 3: 0, 4: 3, 5: 2}
+
+    # cross-engine pin on the same strings (incl. the VT case): DuckDB/RE2
+    # must count identically to Spark/Java
+    import duckdb
+    from ocr_table_extractor_to_csv_spark.operators.textstats import BPE_TOKEN_RE
+
+    con = duckdb.connect()
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    for doc_id, text in [(1, "it's 42 ok!"), (4, "don't stop"), (5, "a\x0bb")]:
+        n = con.execute(
+            f"SELECT len(regexp_extract_all(lower(?), '{pat}'))", [text]
+        ).fetchone()[0]
+        assert n == got[doc_id], (doc_id, n, got[doc_id])
 
 
 def test_exact_dedup_groups(spark):
