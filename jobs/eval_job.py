@@ -5,7 +5,13 @@ Reimplements the reference eval CLI (eval_cli.py:13-51, evaluation.py:76-142)
 as DataFrame aggregations: exact-cell text accuracy + masked numeric
 MSE/RMSE/R^2 per column and overall.
 
-  python jobs/eval_job.py --reference ref.csv --predicted pred.csv [--json out.json]
+  python jobs/eval_job.py --reference ref.csv --predicted pred.csv \
+      [--numeric-columns NAME ...] [--json out.json] [--report out.csv]
+
+``--numeric-columns`` selects columns by reference-header name (or the
+``col_{idx}`` alias, eval_cli.py:19 / evaluation.py:113-115); omitted ->
+every column with at least one coercible (ref, pred) pair participates,
+exactly like the reference's auto-inference.
 """
 
 from __future__ import annotations
@@ -24,7 +30,6 @@ from ocr_table_extractor_to_csv_spark.operators.evaluation import (
     numeric_metrics,
     text_accuracy,
 )
-from ocr_table_extractor_to_csv_spark.session import get_spark
 
 
 def _read_cells(path: str):
@@ -37,16 +42,14 @@ def _read_cells(path: str):
     return header, body, max((len(r) for r in rows), default=0)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--reference", required=True)
-    ap.add_argument("--predicted", required=True)
-    ap.add_argument("--json", default=None)
-    ap.add_argument("--report", default=None, help="CSV report path (evaluation.py:145-158 format)")
-    args = ap.parse_args()
-
-    ref_hdr, ref_rows, ref_w = _read_cells(args.reference)
-    prd_hdr, prd_rows, prd_w = _read_cells(args.predicted)
+def evaluate(
+    spark,
+    reference: str,
+    predicted: str,
+    numeric_columns: list[str] | None = None,
+) -> dict:
+    ref_hdr, ref_rows, ref_w = _read_cells(reference)
+    prd_hdr, prd_rows, prd_w = _read_cells(predicted)
     width = max(ref_w, prd_w)
     height = max(len(ref_rows), len(prd_rows))
 
@@ -59,27 +62,63 @@ def main() -> None:
                 out.append((r, c, row[c] if c < len(row) else ""))
         return out
 
-    spark = get_spark(app_name="eval-tables")
     ref = spark.createDataFrame(cells(ref_rows), "r int, c int, ref string")
     prd = spark.createDataFrame(cells(prd_rows), "r int, c int, pred string")
     aligned = ref.join(prd, ["r", "c"]).cache()
 
     acc = text_accuracy(aligned).collect()[0]
-    per_col = numeric_metrics(
-        aligned.select(F.col("c"), F.col("ref").alias("y_true"), F.col("pred").alias("y_pred")),
-        by=["c"],
-    ).orderBy("c").collect()
-    overall = numeric_metrics(
-        aligned.select(F.col("ref").alias("y_true"), F.col("pred").alias("y_pred"))
-    ).collect()
 
-    report = {
+    # numeric scope: named columns (ref header name or col_{idx} alias,
+    # evaluation.py:113-115) or all columns when unset
+    numeric = aligned
+    if numeric_columns:
+        wanted = set(numeric_columns)
+        idxs = [
+            i
+            for i in range(width)
+            if (i < len(ref_hdr) and ref_hdr[i] in wanted) or f"col_{i}" in wanted
+        ]
+        numeric = aligned.where(F.col("c").isin(idxs) if idxs else F.lit(False))
+
+    pairs = numeric.select(
+        F.col("c"), F.col("ref").alias("y_true"), F.col("pred").alias("y_pred")
+    )
+    # reference skips columns with no coercible pair (evaluation.py:121-123)
+    per_col = [
+        row
+        for row in numeric_metrics(pairs, by=["c"]).orderBy("c").collect()
+        if row.n and row.n > 0
+    ]
+    overall = numeric_metrics(pairs.drop("c")).collect()
+    overall_row = overall[0] if overall and overall[0].n else None
+
+    return {
         "text_accuracy": acc.text_accuracy,
         "total_cells": acc.total_cells,
         "matched_cells": acc.matched_cells,
         "numeric_by_column": [row.asDict() for row in per_col],
-        "numeric_overall": overall[0].asDict() if overall else None,
+        "numeric_overall": overall_row.asDict() if overall_row else None,
     }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reference", required=True)
+    ap.add_argument("--predicted", required=True)
+    ap.add_argument(
+        "--numeric-columns",
+        nargs="+",
+        default=None,
+        help="reference-header names (or col_{idx}) to evaluate numerically; omit to auto-infer",
+    )
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--report", default=None, help="CSV report path (evaluation.py:145-158 format)")
+    args = ap.parse_args()
+
+    from ocr_table_extractor_to_csv_spark.session import get_spark
+
+    spark = get_spark(app_name="eval-tables")
+    report = evaluate(spark, args.reference, args.predicted, args.numeric_columns)
     print(json.dumps(report, indent=1))
     if args.json:
         Path(args.json).write_text(json.dumps(report, indent=1))

@@ -72,3 +72,30 @@ def test_dataset_job_pair_dedup_and_jsonl(spark, tmp_path):
     assert {l["url"] for l in lines} == {"u://1", "u://2"}
     assert all(l["error"] is None for l in lines)
     assert all(len(l["words"]) == len(l["labels"]) > 0 for l in lines)
+
+
+def test_eval_job_numeric_columns_selection(spark, tmp_path):
+    """eval parity incl. --numeric-columns (eval_cli.py:19): named columns
+    (ref header or col_{idx} alias) restrict both per-column and overall
+    numeric metrics; auto-inference skips no-coercible-pair columns."""
+    from jobs.eval_job import evaluate
+
+    ref = tmp_path / "ref.csv"
+    prd = tmp_path / "pred.csv"
+    ref.write_text("name,v1,v2\r\na,1,10\r\nb,2,20\r\n")
+    prd.write_text("name,v1,v2\r\na,1,11\r\nb,3,20\r\n")
+
+    full = evaluate(spark, str(ref), str(prd))
+    # auto mode: the text column has no coercible pair -> skipped
+    assert [m["c"] for m in full["numeric_by_column"]] == [1, 2]
+    assert full["numeric_overall"]["n"] == 4
+
+    only_v1 = evaluate(spark, str(ref), str(prd), numeric_columns=["v1"])
+    assert [m["c"] for m in only_v1["numeric_by_column"]] == [1]
+    assert only_v1["numeric_overall"]["n"] == 2
+    assert abs(only_v1["numeric_overall"]["mse"] - 0.5) < 1e-9  # (0^2+1^2)/2
+
+    by_alias = evaluate(spark, str(ref), str(prd), numeric_columns=["col_2"])
+    assert [m["c"] for m in by_alias["numeric_by_column"]] == [2]
+    # text accuracy unaffected by the numeric scope
+    assert full["text_accuracy"] == only_v1["text_accuracy"]
