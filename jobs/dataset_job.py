@@ -52,6 +52,7 @@ def run_dataset(
     expected_n_cols: int | None = None,
     header_regexes=None,
     max_columns: int = 6,
+    table_bbox=None,
 ):
     """Build examples from explicit pairs and/or a pages DataFrame; returns
     the examples DataFrame after writing JSONL to ``out``."""
@@ -74,6 +75,7 @@ def run_dataset(
         expected_n_cols=expected_n_cols,
         header_regexes=header_regexes,
         max_columns=max_columns,
+        table_bbox=table_bbox,
     )
     # keep null fields (error: null) so each JSONL record carries the full
     # example dict like the reference's json.dumps(ex.to_dict())
@@ -86,6 +88,10 @@ def main() -> None:
     ap.add_argument("--pair", action="append", metavar="URL:HOCR_PATH")
     ap.add_argument("--pages", default=None, help="pages parquet dir/table")
     ap.add_argument("--out", required=True, help="JSONL output directory")
+    ap.add_argument(
+        "--bbox", type=int, nargs=4, metavar=("X1", "Y1", "X2", "Y2"),
+        help="optional table bbox crop (dataset_cli.py --bbox)",
+    )
     ap.add_argument("--expected-n-cols", type=int, default=None)
     ap.add_argument("--header-regex", action="append", default=None)
     ap.add_argument("--max-columns", type=int, default=6)
@@ -103,6 +109,7 @@ def main() -> None:
         expected_n_cols=args.expected_n_cols,
         header_regexes=args.header_regex,
         max_columns=args.max_columns,
+        table_bbox=tuple(args.bbox) if args.bbox else None,
     )
     # summarize from the WRITTEN output (re-counting the returned DataFrame
     # would re-run the whole extraction pipeline per action)

@@ -45,7 +45,10 @@ def build_examples(
     expected_n_cols: Optional[int] = None,
     header_regexes=None,
     max_columns: int = 6,
+    table_bbox=None,
 ) -> DataFrame:
+    bbox = tuple(table_bbox) if table_bbox else None
+
     def fn(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             urls = b.column("url").to_pylist()
@@ -56,6 +59,7 @@ def build_examples(
                     ex = build_layoutlm_example(
                         h or b"",
                         url=u,
+                        table_bbox=bbox,
                         expected_n_cols=expected_n_cols,
                         header_regexes=header_regexes,
                         max_columns=max_columns,
