@@ -493,6 +493,37 @@ ORACLE_FINGERPRINT = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
 # ---------------------------------------------------------------------------
 
 
+def q_curate(spark, sf_dir):
+    """Composed keep/drop curation decision: lang filter + quality threshold
+    + exact-dup keeper election + token accounting, one scan + one shuffle."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import curate
+
+    return curate(_docs(spark, sf_dir))
+
+
+def _oracle_curate() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS ts FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(len(ts) AS INT) AS n_tokens,
+         round(least(1.0, CAST(len(ts) AS DOUBLE) / 50.0)
+               - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(1, length(text)), 5) AS quality_score
+  FROM t
+), lang AS ({_oracle_lang_id()}),
+keepers AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents) _f GROUP BY fp
+)
+SELECT q.doc_id, q.n_tokens, q.quality_score, lang.lang_pred
+FROM q
+JOIN lang ON lang.doc_id = q.doc_id
+JOIN keepers ON keepers.doc_id = q.doc_id
+WHERE q.quality_score >= 0.5 AND lang.lang_pred IN ('en')
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -959,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "curate": q_curate,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -990,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": _oracle_lang_id(),
         "fingerprint": ORACLE_FINGERPRINT,
+        "curate": _oracle_curate(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_lsh": ORACLE_MINHASH_LSH,
