@@ -61,6 +61,28 @@ def test_partitioning_is_content_neutral(spark, pages):
     assert spread.rdd.getNumPartitions() == 8
 
 
+def test_arrow_batch_size_is_content_neutral(spark, pages):
+    """The kernel must be stateless across Arrow batch boundaries: running
+    the giants-pass batch size (4) over the whole corpus yields byte-
+    identical output to the default (256) — the invariant that makes the
+    two-pass small/giant split safe."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    base = {
+        r.url: sha(bytes(r.csv))
+        for r in extract_pages(pages, per_row_dispatch=True).collect()
+    }
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        tiny = {
+            r.url: sha(bytes(r.csv))
+            for r in extract_pages(pages, per_row_dispatch=True).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    assert tiny == base
+
+
 def test_malformed_rows_become_error_rows(spark):
     bad = spark.createDataFrame(
         [("u1", None), ("u2", b"<html><p>hi there this is content</p></html>")],
