@@ -495,13 +495,18 @@ ORACLE_FINGERPRINT = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
 
 def q_curate(spark, sf_dir):
     """Composed keep/drop curation decision: lang filter + quality threshold
-    + exact-dup keeper election + token accounting, one scan + one shuffle."""
+    + exact-dup keeper election + token accounting — one documents scan, one
+    shuffle (the keeper-election window)."""
     from ocr_table_extractor_to_csv_spark.operators.curation import curate
 
     return curate(_docs(spark, sf_dir))
 
 
 def _oracle_curate() -> str:
+    from ocr_table_extractor_to_csv_spark.operators import curation
+
+    min_q = curation.DEFAULT_MIN_QUALITY
+    langs = ", ".join(f"'{l}'" for l in curation.DEFAULT_LANGS)
     return f"""
 WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS ts FROM documents),
 q AS (
@@ -520,7 +525,7 @@ SELECT q.doc_id, q.n_tokens, q.quality_score, lang.lang_pred
 FROM q
 JOIN lang ON lang.doc_id = q.doc_id
 JOIN keepers ON keepers.doc_id = q.doc_id
-WHERE q.quality_score >= 0.5 AND lang.lang_pred IN ('en')
+WHERE q.quality_score >= {min_q} AND lang.lang_pred IN ({langs})
 """
 
 
@@ -634,8 +639,19 @@ edges AS MATERIALIZED (
   UNION ALL
   SELECT id_b AS src, id_a AS dst FROM pr
 ),
-l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label FROM documents){body}
-SELECT node AS doc_id, label AS cluster_id, node = label AS is_keeper FROM l{iters}
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label FROM documents){body},
+chk AS MATERIALIZED (
+  -- self-validation: if the last two unrolled iterations still differ, the
+  -- component diameter exceeded the unroll depth and the ORACLE (not the
+  -- engine) is wrong -> fail loudly instead of reporting a false mismatch
+  SELECT CASE WHEN EXISTS (
+           SELECT 1 FROM l{iters} a JOIN l{iters - 1} b ON b.node = a.node
+           WHERE a.label <> b.label)
+         THEN error('dedup_clusters oracle: {iters} unrolled iterations did not converge - raise iters')
+         ELSE 1 END AS ok
+)
+SELECT node AS doc_id, label AS cluster_id, node = label AS is_keeper
+FROM l{iters}, chk
 """
 
 

@@ -68,29 +68,30 @@ def evaluate(
 
     acc = text_accuracy(aligned).collect()[0]
 
-    # numeric scope: named columns (ref header name or col_{idx} alias,
-    # evaluation.py:113-115) or all columns when unset
+    # numeric scope: named reference-header columns; the col_{idx} alias
+    # applies ONLY to columns beyond the reference header (the reference
+    # assigns that name solely to its _ref_dummy_ padding, evaluation.py:113)
     numeric = aligned
     if numeric_columns:
         wanted = set(numeric_columns)
         idxs = [
             i
             for i in range(width)
-            if (i < len(ref_hdr) and ref_hdr[i] in wanted) or f"col_{i}" in wanted
+            if (i < len(ref_hdr) and ref_hdr[i] in wanted)
+            or (i >= len(ref_hdr) and f"col_{i}" in wanted)
         ]
         numeric = aligned.where(F.col("c").isin(idxs) if idxs else F.lit(False))
 
     pairs = numeric.select(
         F.col("c"), F.col("ref").alias("y_true"), F.col("pred").alias("y_pred")
     )
-    # reference skips columns with no coercible pair (evaluation.py:121-123)
-    per_col = [
-        row
-        for row in numeric_metrics(pairs, by=["c"]).orderBy("c").collect()
-        if row.n and row.n > 0
-    ]
+    # per-column groups always have n >= 1 (numeric_metrics masks
+    # non-coercible pairs BEFORE the groupBy), which is structurally the
+    # reference's skip of no-coercible-pair columns (evaluation.py:121-123)
+    per_col = numeric_metrics(pairs, by=["c"]).orderBy("c").collect()
     overall = numeric_metrics(pairs.drop("c")).collect()
     overall_row = overall[0] if overall and overall[0].n else None
+    aligned.unpersist()
 
     return {
         "text_accuracy": acc.text_accuracy,

@@ -1,22 +1,22 @@
 """Corpus curation: the composed keep/drop decision a training-data
 pipeline runs per document — language filter, quality threshold, exact-dup
-keeper selection — plus token accounting for budget planning.
+keeper election — plus token accounting for budget planning.
 
-Pure composition of the existing operators (textstats + dedup), all
-JVM-side column expressions (no Python nodes; plan-checked) with one
-hash-shuffle groupBy (the dedup keeper election).  The measured plan reads
-``documents`` three times — once per operator branch, each pruned to
-(doc_id, text) — and Catalyst turns the doc_id equi-joins into broadcasts
-at test scale / co-partitioned joins at scale.  Per-doc scoring is
-embarrassingly parallel; keeper election is the only shuffle.
+All scoring columns come from the SAME single-spec builders the standalone
+operators use (textstats.quality_columns / lang_pred_col / norm_text_col),
+computed in ONE select over one scan of ``documents``; keeper election is a
+min-over-fingerprint window — the single shuffle.  Per-doc scoring is
+embarrassingly parallel; the plan is scan -> project -> window -> filter
+(JVM-only, plan-checked in tests).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from . import dedup, textstats
+from .textstats import lang_pred_col, norm_text_col, quality_columns
 
 DEFAULT_MIN_QUALITY = 0.5
 DEFAULT_LANGS = ("en",)
@@ -30,18 +30,20 @@ def curate(
     """(doc_id, n_tokens, quality_score, lang_pred) for documents that are
     (a) predicted in ``langs``, (b) >= ``min_quality``, and (c) their exact-
     dup group's keeper (min doc_id per normalized-text fingerprint)."""
-    quality = textstats.text_quality(documents).select(
-        "doc_id", "n_tokens", "quality_score"
+    q = quality_columns(F.col("text"))
+    scored = documents.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        lang_pred_col(F.col("text")).alias("lang_pred"),
+        F.md5(norm_text_col(F.col("text"))).alias("fp"),
     )
-    lang = textstats.lang_id(documents).select("doc_id", "lang_pred")
-    keepers = dedup.exact_dedup(documents).select(
-        F.col("keeper_id").alias("doc_id")
-    )
+    w = Window.partitionBy("fp")
     return (
-        quality.join(lang, "doc_id")
-        .join(keepers, "doc_id", "left_semi")
+        scored.withColumn("_keeper", F.min("doc_id").over(w) == F.col("doc_id"))
         .where(
-            (F.col("quality_score") >= F.lit(min_quality))
+            F.col("_keeper")
+            & (F.col("quality_score") >= F.lit(min_quality))
             & F.col("lang_pred").isin(list(langs))
         )
         .select("doc_id", "n_tokens", "quality_score", "lang_pred")

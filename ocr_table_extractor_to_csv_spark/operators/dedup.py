@@ -230,6 +230,7 @@ def connected_components(
     # (e.g. the whole MinHash-LSH) once per iteration
     edges = edges.localCheckpoint()
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    connected_components.last_iters = None  # debug aid (single caller); reset per call
     for it in range(max_iter):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
@@ -240,11 +241,14 @@ def connected_components(
         parents = labels.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
-        new_labels = (
+        # carry the old label through so convergence detection is a column
+        # filter on the SAME frame, not an extra full join per iteration
+        stepped = (
             labels.join(neigh, labels.node == neigh.src, "left")
             .join(parents, labels.label == parents.p_node, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"),
                     F.coalesce(F.col("nlabel"), F.col("label")),
@@ -252,15 +256,9 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint()  # truncate the iterative lineage
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "node")
-            .where(F.col("o.label") != F.col("n.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        stepped = stepped.localCheckpoint()  # truncate the iterative lineage
+        changed = stepped.where(F.col("old_label") != F.col("label")).limit(1).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             connected_components.last_iters = it + 1
             return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

@@ -62,32 +62,41 @@ def _stop_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
 
-def text_quality(documents: DataFrame) -> DataFrame:
-    toks = tokens_col(F.col("text"))
+def quality_columns(text: Column) -> dict:
+    """The quality formula as named Column expressions (single spec shared
+    by text_quality and curation.curate)."""
+    toks = tokens_col(text)
     n_tokens = F.size(toks)
-    n_chars = F.length(F.col("text"))
-    punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    n_chars = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     punct_ratio = punct / F.greatest(F.lit(1), n_chars)
     stop_ratio = _stop_hits(toks, "en") / F.greatest(F.lit(1), n_tokens)
     avg_tok = F.aggregate(
         toks, F.lit(0), lambda acc, x: acc + F.length(x)
     ) / F.greatest(F.lit(1), n_tokens)
     quality = F.least(F.lit(1.0), n_tokens / F.lit(50.0)) - punct_ratio
+    return {
+        "n_chars_calc": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.round(avg_tok, 5),
+        "punct_ratio": F.round(punct_ratio, 5),
+        "stopword_ratio": F.round(stop_ratio, 5),
+        "quality_score": F.round(quality, 5),
+    }
+
+
+def text_quality(documents: DataFrame) -> DataFrame:
+    cols = quality_columns(F.col("text"))
     return documents.select(
-        "doc_id",
-        n_chars.alias("n_chars_calc"),
-        n_tokens.alias("n_tokens"),
-        F.round(avg_tok, 5).alias("avg_token_len"),
-        F.round(punct_ratio, 5).alias("punct_ratio"),
-        F.round(stop_ratio, 5).alias("stopword_ratio"),
-        F.round(quality, 5).alias("quality_score"),
+        "doc_id", *[c.alias(name) for name, c in cols.items()]
     )
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    toks = tokens_col(F.col("text"))
+def lang_pred_col(text: Column) -> Column:
+    """argmax-over-stopword-hits language prediction (single spec shared by
+    lang_id and curation.curate)."""
+    toks = tokens_col(text)
     hits = {lang: _stop_hits(toks, lang) for lang in STOPWORDS}
-    best = F.greatest(*hits.values())
     pred = F.lit("und")
     # deterministic priority order on ties: declared language order, but only
     # a STRICT maximum wins; ties (incl. all-zero) stay 'und'
@@ -96,14 +105,25 @@ def lang_id(documents: DataFrame) -> DataFrame:
         pred = F.when(
             (hits[lang] > F.lit(0)) & (hits[lang] > F.greatest(*others)), F.lit(lang)
         ).otherwise(pred)
+    return pred
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    toks = tokens_col(F.col("text"))
+    hits = {lang: _stop_hits(toks, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
     return documents.select(
         "doc_id",
         *[hits[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
         best.alias("best_hits"),
-        pred.alias("lang_pred"),
+        lang_pred_col(F.col("text")).alias("lang_pred"),
     )
 
 
+def norm_text_col(text: Column) -> Column:
+    """Whitespace-normalized lowercase text (the dedup fingerprint base)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    return documents.select("doc_id", F.md5(norm).alias("fp"))
+    return documents.select("doc_id", F.md5(norm_text_col(F.col("text"))).alias("fp"))

@@ -83,10 +83,14 @@ def test_eval_job_numeric_columns_selection(spark, tmp_path):
     ref = tmp_path / "ref.csv"
     prd = tmp_path / "pred.csv"
     ref.write_text("name,v1,v2\r\na,1,10\r\nb,2,20\r\n")
-    prd.write_text("name,v1,v2\r\na,1,11\r\nb,3,20\r\n")
+    # predicted carries an EXTRA column beyond the reference header: that
+    # padded position is the only place the reference's col_{idx} alias
+    # applies (evaluation.py:113 assigns it solely to _ref_dummy_ padding)
+    prd.write_text("name,v1,v2,extra\r\na,1,11,7\r\nb,3,20,8\r\n")
 
     full = evaluate(spark, str(ref), str(prd))
-    # auto mode: the text column has no coercible pair -> skipped
+    # auto mode: the text column has no coercible pair -> no group emitted;
+    # the padded column's ref cells are "" -> no coercible pair either
     assert [m["c"] for m in full["numeric_by_column"]] == [1, 2]
     assert full["numeric_overall"]["n"] == 4
 
@@ -95,7 +99,14 @@ def test_eval_job_numeric_columns_selection(spark, tmp_path):
     assert only_v1["numeric_overall"]["n"] == 2
     assert abs(only_v1["numeric_overall"]["mse"] - 0.5) < 1e-9  # (0^2+1^2)/2
 
+    # col_{idx} must NOT select a real reference column (reference parity)
     by_alias = evaluate(spark, str(ref), str(prd), numeric_columns=["col_2"])
-    assert [m["c"] for m in by_alias["numeric_by_column"]] == [2]
+    assert by_alias["numeric_by_column"] == []
+    assert by_alias["numeric_overall"] is None
+    # ...but DOES select the padded-beyond-header position (index 3 here);
+    # its ref side is all "" so no coercible pair -> empty metrics, selected
+    # without error (mirrors reference behavior on dummy columns)
+    padded = evaluate(spark, str(ref), str(prd), numeric_columns=["col_3"])
+    assert padded["numeric_by_column"] == []
     # text accuracy unaffected by the numeric scope
     assert full["text_accuracy"] == only_v1["text_accuracy"]

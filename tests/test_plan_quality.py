@@ -96,6 +96,20 @@ def test_bucketed_resume_join_has_no_shuffle(spark, pages_path, tmp_path_factory
         spark.sql("DROP TABLE IF EXISTS t_progress_b")
 
 
+def test_curate_single_scan_single_shuffle(spark):
+    """The composed curation decision must be one documents scan + one
+    shuffle (the keeper-election window), all JVM-side."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["curate"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(spark, df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ivf_and_embedding_dedup_jvm_only(spark):
     """The IVF assignment and embedding-dedup pipelines must stay JVM-side
     column expressions end to end — no Python/Arrow eval nodes."""
