@@ -369,6 +369,36 @@ def test_streaming_incremental_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == 10 + all_pages.count()
 
 
+def test_curate_equals_operator_composition(spark):
+    """The single-scan curate plan must equal the definitional composition
+    of the standalone operators (quality x lang x exact-dedup keepers)."""
+    from ocr_table_extractor_to_csv_spark.operators import textstats
+    from ocr_table_extractor_to_csv_spark.operators.curation import (
+        DEFAULT_LANGS,
+        DEFAULT_MIN_QUALITY,
+        curate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {tuple(r) for r in curate(docs).collect()}
+
+    quality = textstats.text_quality(docs).select("doc_id", "n_tokens", "quality_score")
+    lang = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    keepers = dedup.exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    want = {
+        tuple(r)
+        for r in quality.join(lang, "doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .where(
+            (F.col("quality_score") >= DEFAULT_MIN_QUALITY)
+            & F.col("lang_pred").isin(list(DEFAULT_LANGS))
+        )
+        .select("doc_id", "n_tokens", "quality_score", "lang_pred")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization: two availableNow passes over
     an event-time-split file stream must converge to EXACTLY the batch
