@@ -424,3 +424,39 @@ def test_html_entities_and_malformed_markup():
         "alpha beta gamma delta epsilon zeta eta theta iota\n\n"
         "unclosed paragraph with plenty of text to keep"
     )
+
+
+def test_header_regex_window_and_reorder():
+    """F7 (rows.py:137-162): header regexes search rows 0..2 as a lowered
+    ' | '-joined string; a row-2 hit promotes that row to header and the
+    body keeps the ORIGINAL order of the remaining rows (before + after)."""
+    from ocr_table_extractor_to_csv_spark.kernel.layouts import detect_header_row
+
+    rows = [["estado", ""], ["financiero", ""], ["Cuenta", "2023"], ["caja", "5"]]
+    hdr, body = detect_header_row(rows, ["cuenta|descripcion"])
+    assert hdr == ["Cuenta", "2023"]
+    assert body == [["estado", ""], ["financiero", ""], ["caja", "5"]]
+    # no hit within the first three rows -> default first-row header
+    hdr2, body2 = detect_header_row(rows, ["nomatch"])
+    assert hdr2 == ["estado", ""] and body2 == rows[1:]
+
+
+def test_financial_subtotal_without_section():
+    """X4 (postprocess.py:38-44): a label-less all-numeric row becomes
+    'Subtotal' when no section has been seen yet (vs 'Total {section}')."""
+    from ocr_table_extractor_to_csv_spark.kernel.layouts import postprocess_financial
+
+    assert postprocess_financial([["", "1,000", "2,000"]]) == [
+        ["Subtotal", "1,000", "2,000"]
+    ]
+
+
+def test_dynamic_header_partial_year_fill():
+    """A9/J6 (main.py:46-54 + column_model.py:47-82): when SOME columns get
+    a year vote, the unnamed ones fill with their positional Valor_{i+1}."""
+    from ocr_table_extractor_to_csv_spark.kernel.layouts import resolve_dynamic_header
+
+    assert resolve_dynamic_header(3, ["", "2022", ""]) == [
+        "Cuenta", "Valor_1", "2022", "Valor_3"
+    ]
+    assert resolve_dynamic_header(2, None) == ["Cuenta", "Valor_1", "Valor_2"]
