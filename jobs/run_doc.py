@@ -45,7 +45,18 @@ def main(argv=None) -> int:
     ap.add_argument("--bbox", type=int, nargs=4, metavar=("X1", "Y1", "X2", "Y2"))
     ap.add_argument("--expected-n-cols", type=int, default=None)
     ap.add_argument("--header-regex", action="append", default=None)
+    ap.add_argument(
+        "--loglevel",
+        default="INFO",
+        choices=["DEBUG", "INFO", "WARNING", "ERROR"],  # run.py:28-29
+    )
     args = ap.parse_args(argv)
+
+    import logging
+
+    logging.basicConfig(
+        level=args.loglevel, format="%(asctime)s - %(levelname)s - %(message)s"
+    )
 
     html = Path(args.hocr_path).read_bytes()
     res = extract_document(
