@@ -144,23 +144,38 @@ def bench_extraction(spark, corpus_path: str, warm_passes: int = 1, trials: int 
     }
 
 
-def bench_queries(spark, sf_dir: str):
+def bench_queries(spark, sf_dir: str, warm_passes: int = 1, trials: int = 3):
+    """Per-query WARM MEDIANS (r2 verdict #1): one warm pass absorbs
+    cold-JIT + first-query session spin-up, then the median of ``trials``
+    runs is reported with the raw trial arrays alongside — so a reader can
+    see variance without re-measuring."""
     import __spark_entry__ as entry_mod
 
-    times = {}
+    times, trial_arrays = {}, {}
     for name, q in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        _force(q(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
-    return times
+        for _ in range(warm_passes):
+            _force(q(spark, sf_dir))
+        runs = []
+        for _ in range(max(1, trials)):
+            t0 = time.perf_counter()
+            _force(q(spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        times[name] = round(statistics.median(runs), 3)
+        trial_arrays[name] = runs
+    return times, trial_arrays
 
 
 def run_default(args):
     spark = _spark(args.cpus)
     materialize_corpus(spark, args.sf_dir, args.corpus, args.fixture_scale, args.replicas)
     ext = bench_extraction(spark, args.corpus, warm_passes=args.warm, trials=args.trials)
-    queries = bench_queries(spark, args.sf_dir)
+    queries, trial_arrays = bench_queries(
+        spark, args.sf_dir, warm_passes=args.warm, trials=args.trials
+    )
     queries["extract_corpus"] = ext["seconds"]
+    trial_arrays["extract_corpus"] = [
+        round(ext["n_pages"] / r, 3) for r in ext["trial_rates"]
+    ]
     total = round(sum(queries.values()), 3)
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -168,6 +183,8 @@ def run_default(args):
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "query_trials": trial_arrays,
+        "methodology": f"{args.warm} warm pass(es) then median of {args.trials} trials per query",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pages_per_sec": ext["pages_per_sec"],
         "tables_per_sec": ext["tables_per_sec"],

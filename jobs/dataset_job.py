@@ -101,7 +101,7 @@ def main() -> None:
 
     spark = get_spark(app_name="dataset-builder")
     pages = spark.read.parquet(args.pages) if args.pages else None
-    run_dataset(
+    examples = run_dataset(
         spark,
         out=args.out,
         pairs=parse_pairs(args.pair),
@@ -112,9 +112,11 @@ def main() -> None:
         table_bbox=tuple(args.bbox) if args.bbox else None,
     )
     # summarize from the WRITTEN output (re-counting the returned DataFrame
-    # would re-run the whole extraction pipeline per action)
+    # would re-run the whole extraction pipeline per action); the explicit
+    # schema keeps a zero-example build from crashing on schema inference
+    # over an empty JSON directory
     stats = (
-        spark.read.json(args.out)
+        spark.read.schema(examples.schema).json(args.out)
         .selectExpr("count(*) AS n", "count_if(error IS NOT NULL) AS n_err")
         .collect()[0]
     )

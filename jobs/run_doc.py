@@ -46,6 +46,12 @@ def main(argv=None) -> int:
     ap.add_argument("--expected-n-cols", type=int, default=None)
     ap.add_argument("--header-regex", action="append", default=None)
     ap.add_argument(
+        "--transformer-max-cols",
+        type=int,
+        default=None,
+        help="transformers-layout target column cap (run.py --transformer-max-cols)",
+    )
+    ap.add_argument(
         "--loglevel",
         default="INFO",
         choices=["DEBUG", "INFO", "WARNING", "ERROR"],  # run.py:28-29
@@ -65,6 +71,7 @@ def main(argv=None) -> int:
         table_bbox=tuple(args.bbox) if args.bbox else None,
         expected_n_cols=args.expected_n_cols,
         header_regexes=args.header_regex,
+        max_columns=args.transformer_max_cols,
     )
     out = Path(args.csv_path)
     out.parent.mkdir(parents=True, exist_ok=True)

@@ -68,6 +68,7 @@ def extract_document(
     table_bbox: Optional[Tuple[int, int, int, int]] = None,
     expected_n_cols: Optional[int] = None,
     header_regexes: Optional[Sequence[str]] = None,
+    max_columns: Optional[int] = None,
 ) -> ExtractResult:
     layout = (layout or "auto").lower()
     root, is_hocr = parse_dom(html)
@@ -162,17 +163,19 @@ def extract_document(
     if layout == "transformers":
         # The reference's 4th CLI layout (layout_transformers.py:446-565).
         # Its FIRST reconstruction attempt is purely geometric — the generic
-        # pipeline with target_cols = expected_n_cols or MAX_MODEL_COLUMNS
-        # (:516-537) and a cell strip over the BODY rows only (the reference
-        # passes header_row to rows_to_csv unstripped, :532-537;
-        # process_grid_data = cleaners.py:13-27) — replicated exactly.
+        # pipeline with target_cols = expected_n_cols or max_columns or
+        # MAX_MODEL_COLUMNS (:516-537; max_columns = run.py's
+        # --transformer-max-cols) and a cell strip over the BODY rows only
+        # (the reference passes header_row to rows_to_csv unstripped,
+        # :532-537; process_grid_data = cleaners.py:13-27) — replicated
+        # exactly.
         # The LayoutLMv3-label compose
         # (:548-560) requires torch (out of scope in this engine; documented
         # divergence), so an empty heuristic grid falls through directly to
         # the reference's LAST fallback: the spatial grid
         # (build_grid_from_words == the professional grid builder, :551-559).
         intervals = estimate_columns(
-            tok, lines, expected_n_cols=expected_n_cols or MAX_MODEL_COLUMNS
+            tok, lines, expected_n_cols=expected_n_cols or max_columns or MAX_MODEL_COLUMNS
         )
         recs = assign_words_to_columns(tok, lines, intervals)
         grid = merge_lines_into_rows(recs, tok, lines) if intervals else []

@@ -208,6 +208,7 @@ def connected_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id) — min-id connected components over candidate
     pairs; keeper = the row with doc_id == cluster_id.
@@ -221,14 +222,30 @@ def connected_components(
     DataFrame CC shape at 10^9 nodes.  Iterates UNTIL NO LABEL CHANGES
     (checked per iteration), capped at ``max_iter`` with a loud error
     rather than silently-wrong clusters.
+
+    Checkpointing: pass ``checkpoint_dir`` (HDFS/S3 path on a cluster) for
+    RELIABLE ``df.checkpoint()`` — blocks persist to the fault-tolerant
+    store, so losing an executor mid-iteration recomputes from the
+    checkpoint instead of killing the job.  Without it, falls back to
+    ``localCheckpoint`` (executor-block storage): fine for local runs, but
+    lineage is truncated with no durable copy, so an executor loss at
+    cluster scale is fatal — always set checkpoint_dir there.
     """
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint()
+
+    if checkpoint_dir is not None:
+        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     # materialize the (small) edge list once: every iteration joins against
     # it, and leaving it lazy would re-run the upstream candidate pipeline
     # (e.g. the whole MinHash-LSH) once per iteration
-    edges = edges.localCheckpoint()
+    edges = _materialize(edges)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     connected_components.last_iters = None  # debug aid (single caller); reset per call
     for it in range(max_iter):
@@ -256,7 +273,7 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        stepped = stepped.localCheckpoint()  # truncate the iterative lineage
+        stepped = _materialize(stepped)  # truncate the iterative lineage
         changed = stepped.where(F.col("old_label") != F.col("label")).limit(1).count()
         labels = stepped.select("node", "label")
         if changed == 0:
@@ -265,11 +282,14 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 
-def dedup_clusters(documents: DataFrame) -> DataFrame:
+def dedup_clusters(documents: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
     """Near-dup clusters over the MinHash-LSH candidate pairs: every doc
-    labeled with its component's min doc_id; keeper = doc_id == cluster_id."""
+    labeled with its component's min doc_id; keeper = doc_id == cluster_id.
+    Set ``checkpoint_dir`` on a real cluster (see connected_components)."""
     pairs = minhash_lsh_pairs(documents)
-    cc = connected_components(documents.select("doc_id"), pairs)
+    cc = connected_components(
+        documents.select("doc_id"), pairs, checkpoint_dir=checkpoint_dir
+    )
     return cc.withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")))
 
 

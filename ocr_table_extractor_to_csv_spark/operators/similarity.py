@@ -117,9 +117,9 @@ def multi_table_sketch(
     weight arrays; no shuffle, no Python, one pass over the table."""
     cols = []
     guard = (
-        f"CASE WHEN size(embedding) > {dim} THEN "
+        f"CASE WHEN size(embedding) <> {dim} THEN "
         f"CAST(raise_error('embedding dim ' || size(embedding) || "
-        f"' exceeds sketch dim {dim}: pass the real dim') AS BIGINT) ELSE "
+        f"' does not match sketch dim {dim}: pass the real dim') AS BIGINT) ELSE "
     )
     for t in range(n_tables):
         terms = " + ".join(
@@ -128,7 +128,9 @@ def multi_table_sketch(
             for p in range(n_planes)
         )
         # guard: a vector LONGER than dim would zip with NULL weights and
-        # silently collapse every vector into bucket 0 — fail loudly instead
+        # silently collapse every vector into bucket 0; a SHORTER one would
+        # project against truncated weights while the SQL oracle (iterating
+        # 1..dim) NULLs out — fail loudly on any mismatch instead
         cols.append(F.expr(f"{guard}({terms}) END").alias(f"b{t}"))
     return embeddings.select("vec_id", *cols)
 

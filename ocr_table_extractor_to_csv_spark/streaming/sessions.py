@@ -47,12 +47,17 @@ def sessionize_stream(events: DataFrame, gap_sec: float = 1800.0) -> DataFrame:
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["ts", "event_id"], kind="stable"
         )
+        n_counted = 0
         for epoch in batch["epoch"]:
             epoch = float(epoch)
+            if epoch != epoch:  # NaN (null/unparseable ts that slipped the
+                continue  # upstream filter): counting it would poison
+                # last_epoch forever ('epoch - NaN > gap' is always False)
             if last_epoch is None or epoch - last_epoch > gap:
                 n_sessions += 1
             last_epoch = epoch
-        n_events += len(batch)
+            n_counted += 1
+        n_events += n_counted
         state.update((last_epoch, n_sessions, n_events))
         yield pd.DataFrame(
             {"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]}
@@ -69,6 +74,10 @@ def sessionize_stream(events: DataFrame, gap_sec: float = 1800.0) -> DataFrame:
             "ts",
             F.unix_timestamp(F.col("ts").cast("timestamp")).alias("epoch"),
         )
+        # a null/unparseable ts has no event time: drop it here (it would
+        # reach fn as NaN); fn also skips NaN defensively so state can never
+        # be poisoned into a frozen session counter
+        .where(F.col("epoch").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,

@@ -134,6 +134,26 @@ def test_connected_components_long_path_and_cycle(spark):
     assert dedup.connected_components.last_iters <= 7, dedup.connected_components.last_iters
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With checkpoint_dir set, CC uses RELIABLE df.checkpoint(): identical
+    labels, and checkpoint files actually land in the fault-tolerant dir
+    (the 100 TB durability path — localCheckpoint dies with an executor)."""
+    import os
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], "id_a long, id_b long")
+    ckpt = str(tmp_path / "cc_ckpt")
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(nodes, pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert all(cc[i] == 1 for i in range(1, 8))
+    written = [
+        os.path.join(dp, f) for dp, _dn, fn in os.walk(ckpt) for f in fn
+    ]
+    assert written, "no reliable checkpoint files were written"
+
+
 def test_dedup_clusters_keeper_semantics(spark):
     docs = spark.createDataFrame(
         [(5, "the quick brown fox jumps over the dog"),
@@ -243,16 +263,22 @@ def test_ivf_sparse_offset_id_space(spark):
     assert found[(50, 51)] == 1.0
 
 
-def test_sketch_dim_overflow_raises(spark):
-    """A vector longer than the sketch dim must fail loudly (zip_with would
-    otherwise NULL-pad and silently collapse every vector into bucket 0)."""
+def test_sketch_dim_mismatch_raises(spark):
+    """Any dim mismatch must fail loudly: longer would NULL-pad via zip_with
+    and collapse every vector into bucket 0; shorter would project against
+    truncated weights while the SQL oracle NULLs out (silent divergence)."""
     import pytest as _pytest
 
-    emb = spark.createDataFrame(
+    long_emb = spark.createDataFrame(
         [(0, [1.0] * 8)], "vec_id long, embedding array<float>"
     )
-    with _pytest.raises(Exception, match="exceeds sketch dim"):
-        similarity.multi_table_sketch(emb, dim=4).collect()
+    with _pytest.raises(Exception, match="does not match sketch dim"):
+        similarity.multi_table_sketch(long_emb, dim=4).collect()
+    short_emb = spark.createDataFrame(
+        [(0, [1.0] * 3)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception, match="does not match sketch dim"):
+        similarity.multi_table_sketch(short_emb, dim=4).collect()
 
 
 def test_ivf_identical_vectors_found(spark):
