@@ -22,10 +22,7 @@ from pyspark.sql import functions as F
 from ocr_table_extractor_to_csv_spark.operators.extract import extract_pages
 from ocr_table_extractor_to_csv_spark.operators import dedup, similarity, textstats
 from ocr_table_extractor_to_csv_spark.operators.evaluation import numeric_metrics
-from ocr_table_extractor_to_csv_spark.sources.pages import (
-    fixture_pages,
-    pages_from_documents,
-)
+from ocr_table_extractor_to_csv_spark.sources.pages import pages_from_documents
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,20 +93,6 @@ SELECT doc_id,
        md5(main_text) AS text_md5
 FROM agg
 """
-
-
-def _fixture_extract(spark: SparkSession, family: str) -> DataFrame:
-    pages = fixture_pages(spark).where(F.col("family") == family)
-    ext = extract_pages(
-        pages.select("url", "html", "layout", "args"), per_row_dispatch=True
-    )
-    return ext.select(
-        "url",
-        "n_rows",
-        "n_cols",
-        F.md5(F.col("csv")).alias("csv_md5"),
-        F.md5(F.coalesce(F.col("csv_numeric"), F.lit(b""))).alias("csv_numeric_md5"),
-    )
 
 
 _TOKS_GRID_SQL = """
@@ -259,18 +242,6 @@ FROM ok
 """
 
 
-def q_extract_fixture_generic(spark, sf_dir):
-    return _fixture_extract(spark, "generic4")
-
-
-def q_extract_fixture_financial(spark, sf_dir):
-    return _fixture_extract(spark, "fin3")
-
-
-def q_extract_fixture_dynamic(spark, sf_dir):
-    return _fixture_extract(spark, "dyn")
-
-
 def q_extract_fixture_professional(spark, sf_dir):
     """Professional layout end-to-end with a full SQL oracle: uniform-indent
     (label, v1, v2) rows synthesized from documents.text so the chained
@@ -402,6 +373,66 @@ def _oracle_mixed_dispatch() -> str:
         f"SELECT doc_id, '{layout}' AS layout, n_rows, n_cols, csv_md5 FROM ({sql}) _{layout}"
         for sql, layout in branches
     )
+
+
+def q_extract_args_dispatch(spark, sf_dir):
+    """Per-row ARGS dispatch end-to-end with a full SQL oracle: one
+    extract_pages(per_row_dispatch=True) call where every row carries its
+    own extraction kwargs — table_bbox crop, header_regexes selection, and
+    expected_n_cols coercion — over pages engineered so each arg's effect
+    is exactly derivable from documents.text (sources/pages.py:crop_hocr/
+    hdr_hocr/cols_hocr).  Closes the r2 verdict's last no_oracle gap: the
+    dispatch args the retired extract_fixture_* rows-only queries exercised
+    are now value-checked (the fixture corpus itself stays byte-pinned in
+    pytest goldens)."""
+    from ocr_table_extractor_to_csv_spark.sources.pages import args_pages_from_documents
+
+    pages = args_pages_from_documents(_docs(spark, sf_dir))
+    ext = extract_pages(pages.select("url", "html", "layout", "args"), per_row_dispatch=True)
+    return ext.select(
+        F.split(F.col("url"), "://")[1].cast("long").alias("doc_id"),
+        F.split(F.col("url"), "://")[0].alias("variant"),
+        "n_rows",
+        "n_cols",
+        F.md5(_strip_bom_text("csv")).alias("csv_md5"),
+    )
+
+
+# hdr variant: header_regexes picks row 1 ('cuenta v1 v2 v3'); body order is
+# rows[:1] + rows[2:] (kernel/layouts.py detect_header_row) = title row first
+ORACLE_ARGS_DISPATCH = f"""
+WITH toks AS ({_TOKS_GRID_SQL}),
+ok AS (
+  SELECT doc_id, ts, CAST(len(ts) // 4 AS BIGINT) AS nrows
+  FROM toks WHERE len(ts) >= 4
+), tok_lines AS (
+  SELECT doc_id, r,
+         ts[4*r+1] || ',' || ts[4*r+2] || ',' || ts[4*r+3] || ',' || ts[4*r+4] AS line,
+         ts[4*r+1] || ' ' || ts[4*r+2] || ' ' || ts[4*r+3] || ',' || ts[4*r+4] AS line2
+  FROM ok, UNNEST(generate_series(0, CAST(nrows - 1 AS INT))) AS u(r)
+), agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(13)||chr(10) ORDER BY r) || chr(13)||chr(10) AS grid_csv,
+         string_agg(line2, chr(13)||chr(10) ORDER BY r) || chr(13)||chr(10) AS cols_csv,
+         count(*) AS total
+  FROM tok_lines GROUP BY doc_id
+)
+SELECT doc_id, 'crop' AS variant,
+       CAST(total - 1 AS INT) AS n_rows, CAST(4 AS INT) AS n_cols,
+       md5(grid_csv) AS csv_md5
+FROM agg
+UNION ALL
+SELECT doc_id, 'hdr' AS variant,
+       CAST(total + 1 AS INT) AS n_rows, CAST(4 AS INT) AS n_cols,
+       md5('cuenta,v1,v2,v3' || chr(13)||chr(10)
+           || 'nota,interna,previa,anexo' || chr(13)||chr(10) || grid_csv) AS csv_md5
+FROM agg
+UNION ALL
+SELECT doc_id, 'cols' AS variant,
+       CAST(total - 1 AS INT) AS n_rows, CAST(2 AS INT) AS n_cols,
+       md5(cols_csv) AS csv_md5
+FROM agg
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -995,12 +1026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fin_grid": q_extract_fin_grid,
         "extract_dyn_grid": q_extract_dyn_grid,
         "dataset_grid": q_dataset_grid,
-        "extract_fixture_generic": q_extract_fixture_generic,
-        "extract_fixture_financial": q_extract_fixture_financial,
-        "extract_fixture_dynamic": q_extract_fixture_dynamic,
         "extract_fixture_professional": q_extract_fixture_professional,
         "extract_fixture_boiler": q_extract_fixture_boiler,
         "extract_mixed_dispatch": q_extract_mixed_dispatch,
+        "extract_args_dispatch": q_extract_args_dispatch,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
@@ -1023,8 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # extract_fixture_* are corpus-geometry pipelines with no SQL equivalent
-    # -> rows-only checks; everything else has a full value-level oracle.
+    # every queries() entry has a full value-level oracle
     return {
         "extract_grid4": ORACLE_GRID4,
         "extract_fin_grid": ORACLE_FIN_GRID,
@@ -1033,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_fixture_professional": ORACLE_PRO_GRID,
         "extract_fixture_boiler": ORACLE_BOILER,
         "extract_mixed_dispatch": _oracle_mixed_dispatch(),
+        "extract_args_dispatch": ORACLE_ARGS_DISPATCH,
         "token_count": ORACLE_TOKEN_COUNT,
         "token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
         "text_quality": ORACLE_TEXT_QUALITY,

@@ -352,6 +352,105 @@ def boiler_pages_from_documents(documents: DataFrame) -> DataFrame:
     return _spread(documents).mapInPandas(_synth_kind_batches("boiler"), PAGES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# args-dispatch synthesis: three grid variants per document, each carrying a
+# DIFFERENT per-row extraction arg whose effect is exactly SQL-derivable —
+# the oracle-able twin of the fixture corpus's per-row-dispatch coverage:
+#
+#   crop: the generic grid plus a 4-token noise row at y=5 and
+#     table_bbox=(0,50,...): the crop drops the noise (tokens must be FULLY
+#     inside, parser.py:47-48), so output == the plain grid4 derivation; an
+#     ignored crop would turn the noise row into the header -> driver red.
+#   hdr:  a non-matching title row, then a fixed literal header row
+#     ('cuenta v1 v2 v3'), then the token rows; header_regexes=['cuenta']
+#     selects row 1 (rows.py:137-162 searches the first three rows), so
+#     csv = header + title + token rows in that order.
+#   cols: the plain generic grid with expected_n_cols=2: profile intervals
+#     split at ZERO-RUN MIDPOINTS so adjacent intervals touch (every
+#     inter-interval gap is exactly 0), making coerce_interval_count's
+#     argmin-gap merge always pick the LEFTMOST pair (np.argmin first-tie,
+#     geometry.py:116-127) — 4 columns deterministically fold to
+#     (0+1+2, 3) regardless of token widths, so each output row is
+#     't0 t1 t2,t3'.
+# ---------------------------------------------------------------------------
+
+ARGS_CROP_BBOX = (0, 50, 1700, 1000000000)
+ARGS_NOISE_Y = 5
+ARGS_HDR_TITLE = ("nota", "interna", "previa", "anexo")
+ARGS_HDR_HEADER = ("cuenta", "v1", "v2", "v3")
+
+
+def _grid_row(parts: List[str], toks, anchors, y: int) -> None:
+    for c, t in enumerate(toks):
+        x1 = anchors[c]
+        x2 = x1 + CHAR_W * len(t)
+        parts.append(
+            f'<span class="ocrx_word" title="bbox {x1} {y} {x2} {y + TOKEN_H}">{t}</span>'
+        )
+
+
+def _hocr_open() -> List[str]:
+    return [
+        '<?xml version="1.0" encoding="UTF-8"?><html><body>'
+        '<div class="ocr_page" title="image; bbox 0 0 1700 100000">'
+    ]
+
+
+def crop_hocr(tokens: List[str]) -> bytes:
+    parts = _hocr_open()
+    _grid_row(parts, ("ruido", "fuera", "del", "marco"), ANCHORS, ARGS_NOISE_Y)
+    n = (len(tokens) // 4) * 4
+    for i in range(n):
+        r, c = divmod(i, 4)
+        _grid_row(parts, (tokens[i],), ANCHORS[c:], Y0 + ROW_PITCH * r)
+    parts.append("</div></body></html>")
+    return "".join(parts).encode()
+
+
+def hdr_hocr(tokens: List[str]) -> bytes:
+    parts = _hocr_open()
+    _grid_row(parts, ARGS_HDR_TITLE, ANCHORS, Y0)
+    _grid_row(parts, ARGS_HDR_HEADER, ANCHORS, Y0 + ROW_PITCH)
+    n = (len(tokens) // 4) * 4
+    for i in range(n):
+        r, c = divmod(i, 4)
+        _grid_row(parts, (tokens[i],), ANCHORS[c:], Y0 + ROW_PITCH * (r + 2))
+    parts.append("</div></body></html>")
+    return "".join(parts).encode()
+
+
+_ARGS_KINDS = (
+    ("crop", crop_hocr, '{"table_bbox": [0, 50, 1700, 1000000000]}'),
+    ("hdr", hdr_hocr, '{"header_regexes": ["cuenta"]}'),
+    ("cols", grid_hocr, '{"expected_n_cols": 2}'),
+)
+
+
+def args_pages_from_documents(documents: DataFrame) -> DataFrame:
+    """All three args-dispatch variants in ONE scan of documents; each row
+    carries its own args JSON for per-row dispatch (layout 'generic')."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, urls, htmls, layouts, argss = [], [], [], [], []
+            for i in range(len(batch)):
+                toks = grid_tokens(batch["text"].iat[i])
+                if len(toks) < 4:
+                    continue
+                doc_id = int(batch["doc_id"].iat[i])
+                for prefix, builder, args in _ARGS_KINDS:
+                    ids.append(doc_id)
+                    urls.append(f"{prefix}://{doc_id}")
+                    htmls.append(builder(toks))
+                    layouts.append("generic")
+                    argss.append(args)
+            yield pd.DataFrame(
+                {"doc_id": ids, "url": urls, "html": htmls, "layout": layouts, "args": argss}
+            )
+
+    return _spread(documents).mapInPandas(gen, MIXED_SCHEMA)
+
+
 def _synth_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for batch in batches:
         ids, urls, htmls = [], [], []
