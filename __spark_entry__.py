@@ -604,7 +604,10 @@ def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
-def _oracle_minhash_lsh() -> str:
+def _minhash_bands0_ctes() -> str:
+    """Shared DuckDB CTEs (sh, sig, bands0) twinning dedup.lsh_bands — the
+    uncapped (doc_id, band, bkey) list reused by the pair oracle AND the
+    bucket-stats oracle."""
     xs = dedup._xor_constants(dedup.N_MINHASH)
     mins = ", ".join(f"min(xor(h0, {x})) AS m{i}" for i, x in enumerate(xs))
     n_bands = dedup.N_MINHASH // dedup.BAND_SIZE
@@ -617,14 +620,18 @@ def _oracle_minhash_lsh() -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT * FROM ({_SHINGLES_SQL}) s WHERE shingle <> ''
 ), sig AS (
   SELECT doc_id, {mins}
   FROM (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h0 FROM sh) _h
   GROUP BY doc_id
-), bands0 AS ({band_selects}),
+), bands0 AS ({band_selects})"""
+
+
+def _oracle_minhash_lsh() -> str:
+    return f"""
+WITH {_minhash_bands0_ctes()},
 bands AS (
   SELECT doc_id, band, bkey FROM (
     SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands0
@@ -637,6 +644,26 @@ FROM bands a JOIN bands b
 
 
 ORACLE_MINHASH_LSH = _oracle_minhash_lsh()
+
+
+def q_lsh_bucket_stats(spark, sf_dir):
+    """Per-band hot-bucket accounting next to the dedup results, so what the
+    MAX_BUCKET cap drops is driver-visible, never silent (r2 verdict #5)."""
+    return dedup.lsh_bucket_stats(_docs(spark, sf_dir))
+
+
+ORACLE_LSH_BUCKET_STATS = f"""
+WITH {_minhash_bands0_ctes()},
+per_bucket AS (
+  SELECT band, bkey, count(*) AS bsz FROM bands0 GROUP BY 1, 2
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(bsz) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN bsz > {dedup.MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+       CAST(sum(CASE WHEN bsz > {dedup.MAX_BUCKET} THEN bsz ELSE 0 END) AS BIGINT) AS n_docs_in_hot
+FROM per_bucket GROUP BY band
+"""
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -912,6 +939,106 @@ FROM sims WHERE cos >= {threshold}
 
 
 # ---------------------------------------------------------------------------
+# Multimodal queries (media synthesized deterministically from documents)
+# ---------------------------------------------------------------------------
+
+
+def _media(spark, sf_dir):
+    """Opaque-binary media table synthesized from documents: payload =
+    utf-8 bytes of text, kind cycles image/audio/video.  The deterministic
+    stub decoders (operators/multimodal.py) are SQL-expressible, so the
+    whole mapInArrow plumbing gets a value-level driver check."""
+    return _docs(spark, sf_dir).where(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) > 0
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+N_MEDIA_BUCKETS = 16
+
+
+def q_media_features(spark, sf_dir):
+    from ocr_table_extractor_to_csv_spark.operators.multimodal import media_features
+
+    feat = media_features(_media(spark, sf_dir))
+    return feat.where(F.col("error").isNull()).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        *[
+            F.element_at("features", i + 1).alias(f"f{i}")
+            for i in range(N_MEDIA_BUCKETS)
+        ],
+    )
+
+
+def _oracle_media_features() -> str:
+    """The stub featurizer (high-nibble byte histogram, L1-normalized) in
+    SQL: high nibbles are the odd-position chars of hex(payload); each
+    feature is an exact-int count divided once in DOUBLE — bit-identical to
+    numpy's bincount/total, no rounding needed."""
+    fcols = ", ".join(
+        "CAST(len(list_filter(generate_series(1, CAST(2 * nb - 1 AS INT), 2), "
+        f"i -> h[i] = '{d}')) AS DOUBLE) / nb AS f{k}"
+        for k, d in enumerate("0123456789abcdef")
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         lower(hex(encode(text))) AS h,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+)
+SELECT media_id, kind, CAST(nb AS INT) AS n_bytes, {fcols}
+FROM m
+"""
+
+
+def q_media_frames(spark, sf_dir):
+    from ocr_table_extractor_to_csv_spark.operators.multimodal import frame_sample
+
+    fr = frame_sample(_media(spark, sf_dir), k=8)
+    return fr.where(F.col("error").isNull()).select(
+        "media_id",
+        "n_frames",
+        F.expr("array_join(transform(frame_offsets, x -> CAST(x AS STRING)), ',')").alias(
+            "offsets_csv"
+        ),
+        F.expr("array_join(transform(frame_sizes, x -> CAST(x AS STRING)), ',')").alias(
+            "sizes_csv"
+        ),
+    )
+
+
+ORACLE_MEDIA_FRAMES = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
+  FROM documents WHERE octet_length(encode(text)) > 0
+), p AS (
+  SELECT media_id, nb, greatest(1, nb // 8) AS step FROM m
+), f AS (
+  SELECT media_id, nb, step,
+         least(8, (nb + step - 1) // step) AS nf
+  FROM p
+)
+SELECT media_id, CAST(nf AS INT) AS n_frames,
+       array_to_string(list_transform(generate_series(0, CAST(nf - 1 AS INT)),
+                                      i -> CAST(i * step AS VARCHAR)), ',') AS offsets_csv,
+       array_to_string(list_transform(generate_series(0, CAST(nf - 1 AS INT)),
+                                      i -> CAST(least(step, nb - i * step) AS VARCHAR)), ',') AS sizes_csv
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
 # Evaluation / windowed analytics (events)
 # ---------------------------------------------------------------------------
 
@@ -989,6 +1116,35 @@ FROM s GROUP BY 1
 """
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Tumbling event-time windows through the SAME shared builder the
+    streaming job uses (streaming/windows.windowed_event_counts — the
+    watermark is a batch no-op), so the streaming aggregation logic gets a
+    value-level driver check; epochs, not timestamps, cross the hash."""
+    from ocr_table_extractor_to_csv_spark.streaming.windows import windowed_event_counts
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    w = windowed_event_counts(ev, window_duration="1 hour")
+    return w.select(
+        F.unix_timestamp("window_start").alias("ws_epoch"),
+        F.unix_timestamp("window_end").alias("we_epoch"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+ORACLE_WINDOWED_COUNTS = """
+SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS ws_epoch,
+       CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) + 3600 AS BIGINT) AS we_epoch,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 def q_event_histogram(spark, sf_dir):
     """Value-axis histogram — the relational analogue of the reference's
     projection-profile aggregation (SURVEY A1)."""
@@ -1039,14 +1195,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "dedup_embedding": q_dedup_embedding,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "eval_numeric": q_eval_numeric,
         "sessionize": q_sessionize,
+        "windowed_counts": q_windowed_counts,
         "event_histogram": q_event_histogram,
     }
 
@@ -1071,13 +1231,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_lsh": ORACLE_MINHASH_LSH,
+        "lsh_bucket_stats": ORACLE_LSH_BUCKET_STATS,
         "dedup_clusters": _oracle_dedup_clusters(),
         "simhash": ORACLE_SIMHASH,
         "dedup_embedding": _oracle_dedup_embedding(),
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "similarity_lsh": ORACLE_SIMILARITY_LSH,
         "similarity_ivf": _oracle_similarity_ivf(),
+        "media_features": _oracle_media_features(),
+        "media_frames": ORACLE_MEDIA_FRAMES,
         "eval_numeric": ORACLE_EVAL_NUMERIC,
         "sessionize": ORACLE_SESSIONIZE,
+        "windowed_counts": ORACLE_WINDOWED_COUNTS,
         "event_histogram": ORACLE_EVENT_HISTOGRAM,
     }
