@@ -560,6 +560,40 @@ WHERE q.quality_score >= {min_q} AND lang.lang_pred IN ({langs})
 """
 
 
+def q_curate_neardup(spark, sf_dir):
+    """Near-dup-aware curation: lang + quality gates with keeper election by
+    MinHash-LSH CLUSTER (dedup_clusters composition) — near-copies collapse
+    to one survivor, not just byte-identical texts."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import curate_neardup
+
+    return curate_neardup(_docs(spark, sf_dir))
+
+
+def _oracle_curate_neardup() -> str:
+    from ocr_table_extractor_to_csv_spark.operators import curation
+
+    min_q = curation.DEFAULT_MIN_QUALITY
+    langs = ", ".join(f"'{l}'" for l in curation.DEFAULT_LANGS)
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS ts FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(len(ts) AS INT) AS n_tokens,
+         round(least(1.0, CAST(len(ts) AS DOUBLE) / 50.0)
+               - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(1, length(text)), 5) AS quality_score
+  FROM t
+), lang AS ({_oracle_lang_id()}),
+cc AS MATERIALIZED ({{cc_oracle}}),
+keepers AS (SELECT doc_id FROM cc WHERE is_keeper)
+SELECT q.doc_id, q.n_tokens, q.quality_score, lang.lang_pred
+FROM q
+JOIN lang ON lang.doc_id = q.doc_id
+JOIN keepers ON keepers.doc_id = q.doc_id
+WHERE q.quality_score >= {min_q} AND lang.lang_pred IN ({langs})
+""".replace("{cc_oracle}", _oracle_dedup_clusters())
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -1192,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "curate": q_curate,
+        "curate_neardup": q_curate_neardup,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1228,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _oracle_lang_id(),
         "fingerprint": ORACLE_FINGERPRINT,
         "curate": _oracle_curate(),
+        "curate_neardup": _oracle_curate_neardup(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_lsh": ORACLE_MINHASH_LSH,

@@ -425,6 +425,40 @@ def test_curate_equals_operator_composition(spark):
     assert got == want and len(got) > 0
 
 
+def test_curate_neardup_equals_operator_composition(spark):
+    """curate_neardup must equal the definitional composition of the
+    standalone operators with CLUSTER keepers (quality x lang x
+    dedup_clusters keepers) — and keep strictly fewer-or-equal docs than
+    exact-dup curate (near-dup clusters subsume exact-dup groups)."""
+    from ocr_table_extractor_to_csv_spark.operators import textstats
+    from ocr_table_extractor_to_csv_spark.operators.curation import (
+        DEFAULT_LANGS,
+        DEFAULT_MIN_QUALITY,
+        curate,
+        curate_neardup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {tuple(r) for r in curate_neardup(docs).collect()}
+
+    quality = textstats.text_quality(docs).select("doc_id", "n_tokens", "quality_score")
+    lang = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    keepers = dedup.dedup_clusters(docs).where(F.col("is_keeper")).select("doc_id")
+    want = {
+        tuple(r)
+        for r in quality.join(lang, "doc_id")
+        .join(keepers, "doc_id", "left_semi")
+        .where(
+            (F.col("quality_score") >= DEFAULT_MIN_QUALITY)
+            & F.col("lang_pred").isin(list(DEFAULT_LANGS))
+        )
+        .select("doc_id", "n_tokens", "quality_score", "lang_pred")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    assert len(got) <= curate(docs).count()
+
+
 def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
     """applyInPandasWithState sessionization: two availableNow passes over
     an event-time-split file stream must converge to EXACTLY the batch
