@@ -870,50 +870,101 @@ ORACLE_SIMILARITY_LSH = _oracle_similarity_lsh()
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF-flat ANN: sampled coarse quantizer (vec_id < 16), literal-array
-    list assignment in one scan, n_probe=4 inverted lists, exact re-rank."""
+    """IVF-flat ANN: integer-Lloyd TRAINED coarse quantizer (driver-side
+    over a deterministic sample), literal-array list assignment in one
+    scan, n_probe=4 inverted lists, exact re-rank."""
     return similarity.ivf_topk(_emb(spark, sf_dir))
 
 
 def _oracle_similarity_ivf(
-    k: int = 5, query_mod: int = 50, n_centroids: int = 16, n_probe: int = 4
+    k: int = 5,
+    query_mod: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = similarity.IVF_TRAIN_ITERS,
+    sample_mod: int = similarity.IVF_SAMPLE_MOD,
 ) -> str:
-    """DuckDB twin of ivf_topk: centroids are recomputed from the same
-    deterministic ``vec_id < K`` rule; the assignment argmax folds dots
-    left-to-right (list_reduce) with the (score DESC, cid ASC) tie rule
-    matching Spark's array_position-first-max."""
+    """DuckDB twin of ivf_topk: re-runs the SAME integer Lloyd training
+    unrolled ``n_iter`` times in SQL.  Because quantization (floor), the
+    per-cluster sum vectors (order-independent BIGINT sums), and the
+    argmax scores (exact-int dot / sqrt-of-exact-int) are all bit-exact in
+    both engines, centroids and every ranking decision match the Spark
+    side exactly; ties break (score DESC, cid ASC) = Spark's
+    array_position-first-max."""
+    int_dot = (
+        "CAST(list_reduce(list_transform(generate_series(1, len({q})), "
+        "j -> {q}[j] * {c}.s[j]), (a, b) -> a + b) AS DOUBLE)"
+    )
+    c_nrm = (
+        "sqrt(CAST(list_reduce(list_transform({c}.s, x -> x * x), "
+        "(a, b) -> a + b) AS DOUBLE))"
+    )
+    train = ""
+    for i in range(1, n_iter + 1):
+        score = int_dot.format(q="s.q", c="c") + " / " + c_nrm.format(c="c")
+        train += f""",
+a{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY {score} DESC, c.cid ASC) AS r
+    FROM samp s CROSS JOIN c{i - 1} c
+  ) _a WHERE r = 1
+),
+e{i} AS (
+  SELECT a.cid,
+         UNNEST(list_transform(generate_series(1, len(s.q)),
+                               j -> {{'p': j, 'v': s.q[j]}}), recursive := true)
+  FROM a{i} a JOIN samp s USING (vec_id)
+),
+u{i} AS (
+  SELECT cid, list(CAST(sv AS BIGINT) ORDER BY p) AS s
+  FROM (SELECT cid, p, sum(v) AS sv FROM e{i} GROUP BY 1, 2) _s
+  GROUP BY cid
+),
+c{i} AS MATERIALIZED (
+  SELECT c.cid, coalesce(u.s, c.s) AS s FROM c{i - 1} c LEFT JOIN u{i} u USING (cid)
+)"""
+    assign_score = int_dot.format(q="v.q", c="c") + " / c.s_nrm"
+    probe_score = int_dot.format(q="qq.qq", c="c") + " / c.s_nrm"
     return f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
-), cent AS (
-  SELECT vec_id AS cid, e AS c,
-         sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS c_nrm
-  FROM base WHERE vec_id < {n_centroids}
-), scores AS (
-  SELECT b.vec_id, c.cid,
-         list_reduce(list_transform(generate_series(1, len(b.e)), i -> b.e[i] * c.c[i]),
-                     (a, b2) -> a + b2) / c.c_nrm AS s
-  FROM base b CROSS JOIN cent c
+), qv AS (
+  SELECT vec_id,
+         list_transform(e, x -> CAST(floor(x * 1024.0 + 0.5) AS BIGINT)) AS q
+  FROM base
+), samp AS MATERIALIZED (
+  SELECT vec_id, q FROM qv
+  WHERE vec_id % {sample_mod} = 0 AND len(list_filter(q, x -> x <> 0)) > 0
+), c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS s
+  FROM (SELECT * FROM samp ORDER BY vec_id LIMIT {n_centroids}) _i
+){train},
+cent AS MATERIALIZED (
+  SELECT cid, s,
+         sqrt(CAST(list_reduce(list_transform(s, x -> x * x), (a, b) -> a + b) AS DOUBLE)) AS s_nrm
+  FROM c{n_iter}
 ), assign AS (
   SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS r
-    FROM scores
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {assign_score} DESC, c.cid ASC) AS r
+    FROM qv v CROSS JOIN cent c
   ) _a WHERE r = 1
 ), n AS (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM base
-), q AS (
-  SELECT vec_id AS query_id, e AS qe, nrm AS q_nrm
-  FROM n WHERE vec_id % {query_mod} = 0 AND nrm > 0
+), qq AS (
+  SELECT n.vec_id AS query_id, n.e AS qe, n.nrm AS q_nrm, qv.q AS qq
+  FROM n JOIN qv ON qv.vec_id = n.vec_id
+  WHERE n.vec_id % {query_mod} = 0 AND n.nrm > 0
 ), probes AS (
   SELECT query_id, cid FROM (
-    SELECT q.query_id, c.cid,
-           row_number() OVER (
-             PARTITION BY q.query_id
-             ORDER BY list_sum(list_transform(generate_series(1, len(q.qe)), i -> q.qe[i] * c.c[i]))
-                        / (q.q_nrm * c.c_nrm) DESC, c.cid ASC) AS r
-    FROM q CROSS JOIN cent c
+    SELECT qq.query_id, c.cid,
+           row_number() OVER (PARTITION BY qq.query_id
+                              ORDER BY {probe_score} DESC, c.cid ASC) AS r
+    FROM qq CROSS JOIN cent c
   ) _p WHERE r <= {n_probe}
 ), cand AS (
   SELECT DISTINCT p.query_id, a.vec_id
@@ -924,7 +975,7 @@ WITH base AS (
          list_sum(list_transform(generate_series(1, len(q.qe)), i -> q.qe[i] * c.e[i]))
            / (q.q_nrm * c.nrm) AS cos
   FROM cand
-  JOIN q ON q.query_id = cand.query_id
+  JOIN qq q ON q.query_id = cand.query_id
   JOIN n c ON c.vec_id = cand.vec_id AND c.nrm > 0
 ), ranked AS (
   SELECT query_id, neighbor_id, cos,

@@ -135,74 +135,143 @@ def multi_table_sketch(
     return embeddings.select("vec_id", *cols)
 
 
+IVF_QUANT_SCALE = 1024
+IVF_SAMPLE_MOD = 5
+IVF_TRAIN_ITERS = 2
+
+# the quantizer spec shared by training, assignment, and the DuckDB oracle:
+# qe[i] = floor(e[i] * 1024 + 0.5) — floor (not round) because both engines
+# define floor identically on IEEE doubles, so quantization is bit-exact
+_QUANT_SQL = "transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1024.0D + 0.5D))"
+
+
+def _quantize(vec) -> list:
+    import math
+
+    return [int(math.floor(float(x) * 1024.0 + 0.5)) for x in vec]
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = IVF_TRAIN_ITERS,
+    sample_mod: int = IVF_SAMPLE_MOD,
+) -> list:
+    """Lloyd-trained coarse quantizer in EXACT INTEGER arithmetic.
+
+    A deterministic sample (vec_id % sample_mod == 0, all-zero quantized
+    vectors dropped) is collected once; init centroids are the K smallest
+    vec_ids; each Lloyd round assigns samples to argmax <q, S_c>/|S_c|
+    (ties -> lowest cid) and replaces S_c with the INTEGER SUM of assigned
+    quantized vectors (empty cluster keeps its previous sum).  Centroids
+    are kept as raw sum vectors — the member count cancels out of every
+    cosine argmax — so all training arithmetic is order-independent integer
+    sums plus one final double division per score: the DuckDB oracle
+    re-runs the identical iterations in SQL and lands on bit-identical
+    centroids, scores, and rankings.
+
+    Returns [(cid, sum_vec: list[int], norm: float)].  At 100 TB you train
+    on a larger offline sample the same way — the quantizer is always known
+    before the big scan; the scan side below stays literal-only.
+    """
+    import math
+
+    rows = (
+        embeddings.where(F.pmod(F.col("vec_id"), F.lit(sample_mod)) == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    samp = sorted(
+        (int(r.vec_id), _quantize(r.embedding)) for r in rows
+    )
+    samp = [(vid, q) for vid, q in samp if any(q)]
+    if not samp:
+        raise ValueError(
+            f"no trainable sample: no rows with vec_id % {sample_mod} == 0 "
+            "and a nonzero quantized vector"
+        )
+    cents = [list(q) for _vid, q in samp[:n_centroids]]
+
+    def norms(cs):
+        return [math.sqrt(float(sum(v * v for v in s))) for s in cs]
+
+    for _ in range(n_iter):
+        nrm = norms(cents)
+        sums = [[0] * len(c) for c in cents]
+        counts = [0] * len(cents)
+        for _vid, q in samp:
+            best_c, best_s = 0, None
+            for c, s in enumerate(cents):
+                score = float(sum(x * y for x, y in zip(q, s))) / nrm[c]
+                if best_s is None or score > best_s:
+                    best_c, best_s = c, score
+            counts[best_c] += 1
+            tgt = sums[best_c]
+            for i, x in enumerate(q):
+                tgt[i] += x
+        cents = [sums[c] if counts[c] > 0 else cents[c] for c in range(len(cents))]
+    nrm = norms(cents)
+    return [(c, cents[c], nrm[c]) for c in range(len(cents))]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
     query_mod: int = 50,
     n_centroids: int = 16,
     n_probe: int = 4,
+    n_iter: int = IVF_TRAIN_ITERS,
+    sample_mod: int = IVF_SAMPLE_MOD,
 ) -> DataFrame:
-    """IVF-flat ANN: coarse quantizer -> inverted lists -> probe + re-rank.
+    """IVF-flat ANN: TRAINED coarse quantizer -> inverted lists -> probe +
+    exact re-rank.
 
-    The coarse quantizer uses SAMPLED centroids — the deterministic vectors
-    ``vec_id < n_centroids`` — collected once on the driver (K tiny rows; a
-    real deployment trains k-means offline the same way: the quantizer is
-    always known before the scan).  Centroids ship as literal arrays, so:
+    The quantizer comes from ``train_ivf_centroids`` (driver-side integer
+    Lloyd over a deterministic sample — r2 verdict #8 replaced the
+    ``vec_id < K`` seed quantizer).  Centroids ship as literal arrays, so:
 
-      1. list assignment (argmax cosine over K literal dot products; ties ->
-         lowest centroid id) is ONE scan, pure column expressions, no
-         shuffle — the 10^9-vector side never touches Python or a join;
+      1. list assignment (argmax <quantized emb, S_c>/|S_c| over K literal
+         integer dot products; ties -> lowest cid) is ONE scan, pure column
+         expressions, no shuffle — the 10^9-vector side never touches
+         Python or a join;
       2. the sampled query side ranks centroids relationally and probes the
          ``n_probe`` nearest inverted lists (expected candidate fraction
          ~ n_probe/n_centroids);
-      3. exact cosine re-rank within the probed lists (same shape as
-         lsh_topk).
+      3. exact cosine re-rank on the REAL embeddings within the probed
+         lists (same shape as lsh_topk).
 
-    Fully SQL-expressible (the oracle recomputes centroids from the same
-    ``vec_id < K`` rule), making this the third, cross-checked ANN path
-    next to brute force (oracle) and multi-table LSH (scale alternative).
+    Fully SQL-expressible (the oracle re-runs the same integer Lloyd
+    unrolled), making this the third, cross-checked ANN path next to brute
+    force (oracle) and multi-table LSH (scale alternative).
     """
     from pyspark.sql.window import Window
 
-    cents = (
-        embeddings.where(F.col("vec_id") < n_centroids)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cents = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in cents)
-    if not cents:
-        raise ValueError(
-            f"no centroid vectors: no rows with vec_id < {n_centroids} "
-            "(pass a quantizer-compatible n_centroids for this id space)"
-        )
+    cents = train_ivf_centroids(embeddings, n_centroids, n_iter, sample_mod)
 
-    def score_sql(cvec: list) -> str:
-        # argmax score: <emb, c> / |c| — the row's own norm is constant
-        # across centroids, so it cancels out of the argmax
-        arr = ",".join(f"{x!r}D" for x in cvec)
-        nrm = sum(x * x for x in cvec) ** 0.5
+    def score_sql(svec: list, nrm: float) -> str:
+        # argmax score: <qe, S_c> / |S_c| — the row's own norm is constant
+        # across centroids, so it cancels; the dot is EXACT (BIGINT)
+        arr = ",".join(f"{int(x)}L" for x in svec)
         return (
-            f"(aggregate(zip_with(embedding, slice(array({arr}), 1, size(embedding)), "
-            "(x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+            f"(CAST(aggregate(zip_with(qe, array({arr}), "
+            "(x, w) -> x * w), 0L, (acc, v) -> acc + v) AS DOUBLE) "
             f"/ {nrm!r}D)"
         )
 
-    cos_arr = "array(" + ",".join(score_sql(v) for (_cid, v) in cents) + ")"
-    # argmax with first-max (lowest cid) tie rule; array_position yields the
-    # 1-based POSITION in the sorted centroid list — map it back to the
-    # actual centroid vec_id so sparse/offset id spaces still join the
-    # probe side correctly
-    cid_arr = "array(" + ",".join(str(cid) for (cid, _v) in cents) + ")"
-    cid_expr = (
-        f"CAST(element_at({cid_arr}, CAST(array_position({cos_arr}, array_max({cos_arr})) AS INT)) AS INT)"
-    )
-    assign = embeddings.select("vec_id", F.expr(cid_expr).alias("cid"))
+    cos_arr = "array(" + ",".join(score_sql(s, nrm) for (_c, s, nrm) in cents) + ")"
+    # argmax with first-max (lowest cid) tie rule — bit-identical scores on
+    # both engines make the tie rule the ONLY ordering decision
+    cid_expr = f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
+    assign = embeddings.select(
+        "vec_id", F.expr(_QUANT_SQL).alias("qe")
+    ).select("vec_id", F.expr(cid_expr).alias("cid"))
 
-    # query side: rank centroids relationally over the tiny sample
+    # query side: rank centroids relationally over the tiny broadcast table
     cent_df = F.broadcast(
         embeddings.sparkSession.createDataFrame(
-            [(cid, v) for cid, v in cents], "cid int, c_emb array<double>"
-        ).select("cid", "c_emb", _norm(F.col("c_emb")).alias("c_nrm"))
+            [(c, s, nrm) for c, s, nrm in cents],
+            "cid int, s array<long>, s_nrm double",
+        )
     )
     base = embeddings.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
@@ -211,16 +280,23 @@ def ivf_topk(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
+        F.expr(_QUANT_SQL).alias("qq"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("s"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
     qc = q.crossJoin(cent_df).select(
         "query_id",
         "cid",
-        (_dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))).alias("c_cos"),
+        (int_dot.cast("double") / F.col("s_nrm")).alias("c_cos"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("cid"))
     probes = (
         qc.withColumn("_r", F.row_number().over(wp)).where(F.col("_r") <= n_probe).select("query_id", "cid")
     )
+    q = q.drop("qq")
 
     cand = (
         probes.join(assign, "cid")

@@ -238,14 +238,16 @@ def test_cosine_dup_pairs_hot_bucket_capped(spark):
 
 
 def test_ivf_recall_floor_vs_brute_force(spark):
-    """IVF-flat (16 sampled centroids, probe 4 => ~25% of lists searched)
+    """IVF-flat (16 TRAINED centroids, probe 4 => ~25% of lists searched)
     recall floor on the worst-case near-random test embeddings; clustered
-    real-world embeddings concentrate into lists and score far higher."""
+    real-world embeddings concentrate into lists and score far higher.
+    The integer-Lloyd trained quantizer lifted recall@5 from 0.46 (r2's
+    vec_id<K seed centroids, floor 0.38) to 0.70 — floor tightened."""
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     bf = {(r.query_id, r.neighbor_id) for r in similarity.brute_force_topk(emb, k=5).collect()}
     iv = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(emb, k=5).collect()}
     recall = len(bf & iv) / len(bf)
-    assert recall >= 0.38, recall  # measured 0.46
+    assert recall >= 0.6, recall  # measured 0.70 (r2 seed quantizer: 0.46)
 
 
 def test_ivf_sparse_offset_id_space(spark):
