@@ -201,7 +201,7 @@ def test_lsh_topk_buckets_contain_identical_vectors(spark):
         [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (50, [1.0, 2.0, 3.0])],
         "vec_id long, embedding array<float>",
     )
-    rows = similarity.lsh_topk(emb, k=2, query_mod=50).collect()
+    rows = similarity.lsh_topk(emb, k=2, query_mod=50, dim=3).collect()
     # identical vectors share every hyperplane bucket -> both found, cos 1.0
     found = {(r.query_id, r.neighbor_id): r.cos_sim for r in rows}
     assert found[(0, 1)] == 1.0 and found[(0, 50)] == 1.0

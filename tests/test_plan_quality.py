@@ -110,6 +110,51 @@ def test_curate_single_scan_single_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_media_features_single_scan_no_shuffle(spark):
+    """The multimodal feature pipeline must be one pruned documents scan ->
+    one mapInArrow stage: no shuffle, no extra scans (embarrassingly
+    parallel at 100 TB)."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["media_features"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(spark, df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1
+    assert "Exchange" not in plan
+    # pruned to the two columns the synthesis needs
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m and set(re.findall(r"(\w+):", m.group(1))) <= {"doc_id", "text"}
+
+
+def test_curate_neardup_filters_before_join(spark):
+    """curate_neardup: lang/quality predicates must run below the keeper
+    join (only gate-survivors shuffle), and the scoring side stays JVM-only
+    (Python appears nowhere — the whole query is column expressions +
+    joins)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["curate_neardup"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(spark, df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the quality/lang gate predicate must appear in the plan (it runs as a
+    # Filter below the keeper join, not as a post-join filter)
+    assert "lang_pred" in plan and ">= 0.5" in plan, "gate predicate missing from plan"
+
+
+def test_args_dispatch_single_documents_scan(spark):
+    """The 3-variant args-dispatch query must synthesize every variant from
+    ONE scan of documents."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["extract_args_dispatch"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(spark, df)
+    n = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    assert n == 1, f"documents scanned {n} times"
+
+
 def test_ivf_and_embedding_dedup_jvm_only(spark):
     """The IVF assignment and embedding-dedup pipelines must stay JVM-side
     column expressions end to end — no Python/Arrow eval nodes."""
