@@ -174,8 +174,6 @@ def train_ivf_centroids(
     on a larger offline sample the same way — the quantizer is always known
     before the big scan; the scan side below stays literal-only.
     """
-    import math
-
     rows = (
         embeddings.where(F.pmod(F.col("vec_id"), F.lit(sample_mod)) == 0)
         .select("vec_id", "embedding")
@@ -190,28 +188,26 @@ def train_ivf_centroids(
             f"no trainable sample: no rows with vec_id % {sample_mod} == 0 "
             "and a nonzero quantized vector"
         )
-    cents = [list(q) for _vid, q in samp[:n_centroids]]
+    import numpy as np
 
-    def norms(cs):
-        return [math.sqrt(float(sum(v * v for v in s))) for s in cs]
-
+    # all training math is EXACT int64 (sums are associative, so numpy
+    # vectorization cannot change a single bit vs the SQL's per-row sums);
+    # the only floating steps — int->double conversion and one division per
+    # score — are IEEE round-to-nearest in numpy, DuckDB, and Spark alike
+    Q = np.array([q for _vid, q in samp], dtype=np.int64)
+    cents = Q[:n_centroids].copy()
     for _ in range(n_iter):
-        nrm = norms(cents)
-        sums = [[0] * len(c) for c in cents]
-        counts = [0] * len(cents)
-        for _vid, q in samp:
-            best_c, best_s = 0, None
-            for c, s in enumerate(cents):
-                score = float(sum(x * y for x, y in zip(q, s))) / nrm[c]
-                if best_s is None or score > best_s:
-                    best_c, best_s = c, score
-            counts[best_c] += 1
-            tgt = sums[best_c]
-            for i, x in enumerate(q):
-                tgt[i] += x
-        cents = [sums[c] if counts[c] > 0 else cents[c] for c in range(len(cents))]
-    nrm = norms(cents)
-    return [(c, cents[c], nrm[c]) for c in range(len(cents))]
+        nrm = np.sqrt((cents * cents).sum(axis=1).astype(np.float64))
+        scores = (Q @ cents.T).astype(np.float64) / nrm[None, :]
+        assign = scores.argmax(axis=1)  # first-max = lowest cid (tie rule)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, Q)
+        counts = np.bincount(assign, minlength=len(cents))
+        cents = np.where((counts > 0)[:, None], sums, cents)
+    nrm = np.sqrt((cents * cents).sum(axis=1).astype(np.float64))
+    return [
+        (c, [int(v) for v in cents[c]], float(nrm[c])) for c in range(len(cents))
+    ]
 
 
 def ivf_topk(
