@@ -519,6 +519,172 @@ _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 ORACLE_FINGERPRINT = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
 
 
+# deterministic synthetic PII appended per doc so the scrubber's counts and
+# redaction are exercised on guaranteed-nonzero matches (the operator itself
+# is generic); the SQL oracle doctors the text identically
+_PII_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
+    F.col("text"),
+    F.lit(" contact user"),
+    F.col("doc_id").cast("string"),
+    F.lit("@example.com at 10.0.0."),
+    F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+    F.lit(" tel +1 (555) 010-00"),
+    F.pmod(F.col("doc_id"), F.lit(10)).cast("string"),
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", _PII_SUFFIX_SPARK().alias("text"))
+    return textstats.pii_scrub(docs)
+
+
+def _oracle_pii_scrub() -> str:
+    email, ip, phone = (
+        textstats.PII_EMAIL_RE,
+        textstats.PII_IP_RE,
+        textstats.PII_PHONE_RE,
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com at 10.0.0.'
+              || (doc_id % 256) || ' tel +1 (555) 010-00' || (doc_id % 10) AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{email}')) AS INT) AS n_emails,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1
+  FROM t
+), s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{ip}')) AS INT) AS n_ips,
+         regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '{phone}')) AS INT) AS n_phones,
+       md5(regexp_replace(t2, '{phone}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM s2
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+def _oracle_repetition() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+tc AS (
+  SELECT doc_id, max(c) AS top_tok, count(*) AS n_unique, sum(c) AS n_toks
+  FROM (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id, unnest(ts) AS tok FROM t) _e GROUP BY 1, 2
+  ) _c GROUP BY 1
+), bg AS (
+  SELECT doc_id, max(c) AS top_bg
+  FROM (
+    SELECT doc_id, bgm, count(*) AS c
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ts) - 1),
+                                   i -> ts[i] || '_' || ts[i + 1])) AS bgm
+      FROM t WHERE len(ts) >= 2
+    ) _g GROUP BY 1, 2
+  ) _m GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(tc.n_toks, 0) AS INT) AS n_tokens,
+       round(CASE WHEN coalesce(tc.n_toks, 0) > 0
+                  THEN CAST(tc.top_tok AS DOUBLE) / tc.n_toks ELSE 0.0 END, 5)
+         AS top_token_frac,
+       round(CASE WHEN coalesce(tc.n_toks, 0) > 1
+                  THEN CAST(coalesce(bg.top_bg, 0) AS DOUBLE) / (tc.n_toks - 1)
+                  ELSE 0.0 END, 5) AS top_bigram_frac,
+       round(CASE WHEN coalesce(tc.n_toks, 0) > 0
+                  THEN CAST(tc.n_unique AS DOUBLE) / tc.n_toks ELSE 0.0 END, 5)
+         AS unique_token_frac
+FROM documents d
+LEFT JOIN tc ON tc.doc_id = d.doc_id
+LEFT JOIN bg ON bg.doc_id = d.doc_id
+"""
+
+
+def q_source_stats(spark, sf_dir):
+    return textstats.source_stats(_docs(spark, sf_dir))
+
+
+ORACLE_SOURCE_STATS = f"""
+WITH t AS (SELECT source, text, {_TOKS_SQL} AS ts FROM documents),
+q AS (
+  SELECT source,
+         CAST(len(ts) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars,
+         round(least(1.0, CAST(len(ts) AS DOUBLE) / 50.0)
+               - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(1, length(text)), 5) AS qs
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(qs) AS min_quality,
+       max(qs) AS max_quality
+FROM q GROUP BY 1
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: shingle overlap vs the deterministic
+    doc_id % 97 == 0 stand-in eval set; eval side broadcasts."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir))
+
+
+def _oracle_decontaminate(eval_mod: int = 97, threshold: float = 0.5) -> str:
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT * FROM ({_SHINGLES_SQL}) s WHERE shingle <> ''
+), ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {eval_mod} = 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
+), ov AS (
+  SELECT sh.doc_id, count(*) AS n_overlap FROM sh JOIN ev USING (shingle) GROUP BY 1
+)
+SELECT sizes.doc_id, sizes.n_shingles,
+       coalesce(ov.n_overlap, 0) AS n_overlap,
+       round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / sizes.n_shingles, 5)
+         AS overlap_ratio,
+       (CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / sizes.n_shingles) >= {threshold}
+         AS contaminated
+FROM sizes LEFT JOIN ov ON ov.doc_id = sizes.doc_id
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic md5-hash stratified sampling (en 0.5, es 0.25, else
+    0.1) — reproducible on any cluster/partitioning/retry, unlike rand()."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import sample_stratified
+
+    return sample_stratified(_docs(spark, sf_dir))
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+WITH t AS (
+  SELECT doc_id, lang AS stratum,
+         CAST('0x' || substr(md5('sample:' || doc_id), 1, 8) AS BIGINT)
+           / 4294967296.0 AS u,
+         CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'es' THEN 0.25
+              ELSE 0.1 END AS r
+  FROM documents
+)
+SELECT doc_id, stratum, round(u, 6) AS u FROM t WHERE u < r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup queries
 # ---------------------------------------------------------------------------
@@ -1276,6 +1442,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "repetition_stats": q_repetition_stats,
+        "source_stats": q_source_stats,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
         "curate": q_curate,
         "curate_neardup": q_curate_neardup,
         "dedup_exact": q_dedup_exact,
@@ -1313,6 +1484,11 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": ORACLE_TEXT_QUALITY,
         "lang_id": _oracle_lang_id(),
         "fingerprint": ORACLE_FINGERPRINT,
+        "pii_scrub": _oracle_pii_scrub(),
+        "repetition_stats": _oracle_repetition(),
+        "source_stats": ORACLE_SOURCE_STATS,
+        "decontaminate": _oracle_decontaminate(),
+        "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "curate": _oracle_curate(),
         "curate_neardup": _oracle_curate_neardup(),
         "dedup_exact": ORACLE_DEDUP_EXACT,

@@ -88,3 +88,85 @@ def curate_neardup(
     return scored.join(keepers, "doc_id").select(
         "doc_id", "n_tokens", "quality_score", "lang_pred"
     )
+
+
+DECONTAMINATE_THRESHOLD = 0.5
+
+
+def decontaminate(
+    documents: DataFrame,
+    eval_set: DataFrame | None = None,
+    eval_mod: int = 97,
+    n: int = 3,
+    threshold: float = DECONTAMINATE_THRESHOLD,
+) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram overlap against an
+    evaluation set — (doc_id, n_shingles, n_overlap, overlap_ratio,
+    contaminated).
+
+    ``eval_set`` defaults to the deterministic ``doc_id % eval_mod == 0``
+    slice of the corpus (a stand-in benchmark; pass the real eval table in
+    production).  Scale shape: the corpus side is the linear shingle
+    explode; the eval side collapses to DISTINCT shingles and BROADCASTS —
+    benchmark suites are KBs-to-MBs against a 100 TB corpus, so the overlap
+    join never shuffles the corpus, and per-doc counts partial-aggregate
+    map-side."""
+    from .dedup import shingles
+
+    if eval_set is None:
+        eval_set = documents.where(F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0)
+    doc_sh = shingles(documents, n)
+    eval_sh = F.broadcast(shingles(eval_set, n).select("shingle").distinct())
+    overlap = (
+        doc_sh.join(eval_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ratio = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles")
+    return (
+        sizes.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(ratio, 5).alias("overlap_ratio"),
+            (ratio >= F.lit(threshold)).alias("contaminated"),
+        )
+    )
+
+
+def sample_stratified(
+    documents: DataFrame,
+    rates: dict | None = None,
+    default_rate: float = 0.1,
+    strata_col: str = "lang",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified sampling for mix planning: keep a document
+    iff u(doc_id) < rate(stratum), where u = first-32-bits of
+    md5('{salt}:' || doc_id) / 2^32 — a pure column expression, so the
+    sample is reproducible on any cluster, any partitioning, any retry
+    (rand() is none of those).  The division is by a power of two: u is
+    bit-exact in every engine.  Returns (doc_id, stratum, u)."""
+    rates = rates if rates is not None else {"en": 0.5, "es": 0.25}
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(2**32))
+    )
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return (
+        documents.select(
+            "doc_id", F.col(strata_col).alias("stratum"), u.alias("u"), rate.alias("_r")
+        )
+        .where(F.col("u") < F.col("_r"))
+        .select("doc_id", "stratum", F.round("u", 6).alias("u"))
+    )

@@ -127,3 +127,125 @@ def norm_text_col(text: Column) -> Column:
 
 def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", F.md5(norm_text_col(F.col("text"))).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction pass a training pipeline runs before text
+# ships anywhere.  Regexes kept to the Java/RE2-identical subset (explicit
+# classes, no \s, no lookaround) so the DuckDB oracle matches byte-for-byte.
+# Replacement order is part of the spec: emails, then IPs, then phones.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, scrubbed_md5) — count and redact
+    emails / IPv4s / +international phones.  Pure JVM regex (codegen'd, one
+    scan, no shuffle): at 10^9 docs this is a map-only pass."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    scrubbed = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(scrubbed, F.lit(PII_IP_RE))
+    scrubbed = F.regexp_replace(scrubbed, PII_IP_RE, "<IP>")
+    n_phones = F.regexp_count(scrubbed, F.lit(PII_PHONE_RE))
+    scrubbed = F.regexp_replace(scrubbed, PII_PHONE_RE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals:
+    (doc_id, n_tokens, top_token_frac, top_bigram_frac, unique_token_frac).
+
+    top_token_frac   = occurrences of the most frequent token / n_tokens
+    top_bigram_frac  = occurrences of the most frequent word 2-gram / (n_tokens - 1)
+    unique_token_frac = distinct tokens / n_tokens
+    (0.0 for degenerate sizes; all ratios rounded to 5.)
+
+    Scale shape: two explode -> groupBy(doc_id, gram) -> groupBy(doc_id)
+    chains (map-side partial counts; a few longs per doc cross the second
+    shuffle) joined back to one pruned documents scan — no all-token state
+    ever sits on one node."""
+    toks = tokens_col(F.col("text"))
+    base = documents.select("doc_id", toks.alias("ts"))
+
+    tok_counts = (
+        base.select("doc_id", F.explode("ts").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_tok"),
+            F.count("*").alias("n_unique"),
+            F.sum("count").alias("n_toks"),
+        )
+    )
+    # COUNTED bigrams (not distinct): one zip_with over two shifted slices
+    k = F.size(F.col("ts"))
+    grams = F.when(
+        k >= 2,
+        F.zip_with(
+            F.slice(F.col("ts"), 1, k - 1),
+            F.slice(F.col("ts"), 2, k - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_counts = (
+        base.select("doc_id", F.explode(grams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bg"))
+    )
+    out = (
+        documents.select("doc_id")
+        .join(tok_counts, "doc_id", "left")
+        .join(bg_counts, "doc_id", "left")
+    )
+    n = F.coalesce(F.col("n_toks"), F.lit(0)).cast("int")
+    return out.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(
+            F.when(n > 0, F.col("top_tok") / n).otherwise(F.lit(0.0)), 5
+        ).alias("top_token_frac"),
+        F.round(
+            F.when(n > 1, F.coalesce(F.col("top_bg"), F.lit(0)) / (n - 1)).otherwise(
+                F.lit(0.0)
+            ),
+            5,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.when(n > 0, F.col("n_unique") / n).otherwise(F.lit(0.0)), 5
+        ).alias("unique_token_frac"),
+    )
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Per-source corpus rollup for mix planning: (source, n_docs,
+    total_tokens, total_chars, min_quality, max_quality).  Deliberately
+    ONLY order-independent aggregates (integer sums, min/max) so the result
+    is exactly reproducible under any partitioning — an avg of doubles
+    would be partition-order dependent."""
+    q = quality_columns(F.col("text"))
+    scored = documents.select(
+        "source",
+        q["n_tokens"].alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        q["quality_score"].alias("quality_score"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+    )

@@ -427,6 +427,84 @@ def test_curate_equals_operator_composition(spark):
     assert got == want and len(got) > 0
 
 
+def test_pii_scrub_counts_and_redaction(spark):
+    import hashlib
+
+    from ocr_table_extractor_to_csv_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d+x@e.org, ip 10.0.0.7, call +1 (555) 010-0099 now")],
+        "doc_id long, text string",
+    )
+    r = textstats.pii_scrub(docs).collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (2, 1, 1)
+    expected = "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE> now"
+    assert r.scrubbed_md5 == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_repetition_stats_known_values(spark):
+    from ocr_table_extractor_to_csv_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, ""), (3, "solo")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    r = rows[1]
+    # tokens [a,a,a,b]: top token a=3/4; bigrams [a_a,a_a,a_b]: top 2/3;
+    # unique 2/4
+    assert (r.n_tokens, r.top_token_frac, r.unique_token_frac) == (4, 0.75, 0.5)
+    assert r.top_bigram_frac == round(2 / 3, 5)
+    assert tuple(rows[2])[1:] == (0, 0.0, 0.0, 0.0)
+    assert rows[3].n_tokens == 1 and rows[3].top_bigram_frac == 0.0
+
+
+def test_source_stats_exact_aggregates(spark):
+    from ocr_table_extractor_to_csv_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "one two", "s1"), (2, "three", "s1"), (3, "x.", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in textstats.source_stats(docs).collect()}
+    assert rows["s1"].n_docs == 2 and rows["s1"].total_tokens == 3
+    assert rows["s1"].total_chars == 7 + 5
+    assert rows["s2"].min_quality == rows["s2"].max_quality
+
+
+def test_decontaminate_eval_overlap(spark):
+    from ocr_table_extractor_to_csv_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),      # eval doc (0 % 97 == 0)
+            (1, "alpha beta gamma epsilon"),    # shares 1 of 2 shingles
+            (2, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in decontaminate(docs).collect()}
+    assert rows[0].contaminated and rows[0].overlap_ratio == 1.0
+    assert rows[1].n_shingles == 2 and rows[1].n_overlap == 1
+    assert rows[1].overlap_ratio == 0.5 and rows[1].contaminated  # >= threshold
+    assert rows[2].n_overlap == 0 and not rows[2].contaminated
+
+
+def test_sample_stratified_deterministic_and_bounded(spark):
+    from ocr_table_extractor_to_csv_spark.operators.curation import sample_stratified
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {tuple(r) for r in sample_stratified(docs).collect()}
+    b = {tuple(r) for r in sample_stratified(docs).collect()}
+    assert a == b and len(a) > 0  # same sample on every run, any partitioning
+    # every kept row is under its stratum's rate
+    for doc_id, stratum, u in a:
+        rate = {"en": 0.5, "es": 0.25}.get(stratum, 0.1)
+        assert u < rate + 1e-6
+    # salt changes the sample
+    c = {tuple(r) for r in sample_stratified(docs, salt="other").collect()}
+    assert c != a
+
+
 def test_curate_neardup_equals_operator_composition(spark):
     """curate_neardup must equal the definitional composition of the
     standalone operators with CLUSTER keepers (quality x lang x
