@@ -155,6 +155,33 @@ def test_args_dispatch_single_documents_scan(spark):
     assert n == 1, f"documents scanned {n} times"
 
 
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-set side of the overlap join must BROADCAST (benchmark
+    suites are tiny vs a 100 TB corpus — a shuffle join here would shuffle
+    the whole corpus's shingles)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["decontaminate"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(spark, df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_and_sampling_jvm_only_single_scan(spark):
+    """pii_scrub and sample_stratified are map-only passes: one scan, no
+    shuffle, no Python."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    for name in ("pii_scrub", "sample_stratified"):
+        df = entry_mod.queries()[name](spark, "/root/testdata/sf0.001")
+        plan = _formatted(spark, df)
+        assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1, name
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
 def test_ivf_and_embedding_dedup_jvm_only(spark):
     """The IVF assignment and embedding-dedup pipelines must stay JVM-side
     column expressions end to end — no Python/Arrow eval nodes."""
