@@ -27,6 +27,30 @@ def test_run_doc_cli_matches_kernel(tmp_path):
     assert num.exists() and num.read_bytes() == res.csv_numeric
 
 
+def test_run_doc_cli_transformer_max_cols(tmp_path):
+    """--transformer-max-cols (run.py parity, ADVICE r2): the transformers
+    layout's target column count must flow expected_n_cols -> max_columns ->
+    MAX_MODEL_COLUMNS, and the flag must change the output accordingly."""
+    from jobs.run_doc import main
+
+    row = generate_fixture("generic4", 0)
+    hocr = tmp_path / "page.hocr"
+    hocr.write_bytes(row["html"])
+    out2 = tmp_path / "two.csv"
+    out6 = tmp_path / "six.csv"
+    assert main([str(out2), "--hocr_path", str(hocr), "--layout", "transformers",
+                 "--transformer-max-cols", "2"]) == 0
+    assert main([str(out6), "--hocr_path", str(hocr), "--layout", "transformers"]) == 0
+    assert out2.read_bytes() != out6.read_bytes()
+    assert out2.read_bytes() == extract_document(
+        row["html"], layout="transformers", max_columns=2
+    ).csv
+    # expected_n_cols wins over max_columns (reference precedence)
+    assert extract_document(
+        row["html"], layout="transformers", expected_n_cols=3, max_columns=2
+    ).csv == extract_document(row["html"], layout="transformers", expected_n_cols=3).csv
+
+
 def test_run_doc_cli_bbox_and_layout_flags(tmp_path):
     from jobs.run_doc import main
 
