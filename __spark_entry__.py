@@ -664,6 +664,33 @@ FROM sizes LEFT JOIN ov ON ov.doc_id = sizes.doc_id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Pretraining sequence packing: contiguous-fill token bins per shard
+    (one window cumsum; shards pack independently)."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % 16 AS INT) AS shard,
+         CAST(len({_TOKS_SQL}) AS INT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) % 2048 AS INT) AS offset_in_bin
+FROM c
+"""
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic md5-hash stratified sampling (en 0.5, es 0.25, else
     0.1) — reproducible on any cluster/partitioning/retry, unlike rand()."""
@@ -1447,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
         "curate": q_curate,
         "curate_neardup": q_curate_neardup,
         "dedup_exact": q_dedup_exact,
@@ -1489,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": ORACLE_SOURCE_STATS,
         "decontaminate": _oracle_decontaminate(),
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
         "curate": _oracle_curate(),
         "curate_neardup": _oracle_curate_neardup(),
         "dedup_exact": ORACLE_DEDUP_EXACT,

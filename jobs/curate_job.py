@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Corpus-curation job — the operational entry for the LLM-data pipeline
+side of the engine (no reference analogue; the reference is extraction-only).
+
+Reads a documents parquet (doc_id, text, lang, source, ...), applies the
+composed keep/drop decision, and writes:
+
+  * ``<out>/keepers``   — the surviving (doc_id, n_tokens, quality_score,
+    lang_pred) rows (exact-dup keepers by default; ``--neardup`` elects
+    keepers per MinHash-LSH cluster instead);
+  * ``<out>/bucket_stats`` — per-band LSH hot-bucket drop accounting
+    (no-silent-caps rule: what the MAX_BUCKET cap skipped, next to the
+    results it affected) when ``--neardup`` is set;
+  * a one-line JSON summary on stdout.
+
+Cluster use: pass ``--checkpoint-dir hdfs://...`` so the connected-
+components iterations use RELIABLE checkpoints (executor loss recovers
+instead of killing the job).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def run_curate(
+    spark,
+    documents,
+    out: str,
+    neardup: bool = False,
+    min_quality: float | None = None,
+    langs: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+):
+    from ocr_table_extractor_to_csv_spark.operators import dedup
+    from ocr_table_extractor_to_csv_spark.operators.curation import (
+        DEFAULT_LANGS,
+        DEFAULT_MIN_QUALITY,
+        curate,
+        curate_neardup,
+    )
+
+    mq = DEFAULT_MIN_QUALITY if min_quality is None else min_quality
+    ls = tuple(langs) if langs else DEFAULT_LANGS
+    if neardup:
+        kept = curate_neardup(
+            documents, min_quality=mq, langs=ls, checkpoint_dir=checkpoint_dir
+        )
+    else:
+        kept = curate(documents, min_quality=mq, langs=ls)
+    kept.write.mode("overwrite").parquet(f"{out}/keepers")
+    if neardup:
+        dedup.lsh_bucket_stats(documents).write.mode("overwrite").parquet(
+            f"{out}/bucket_stats"
+        )
+    return spark.read.parquet(f"{out}/keepers")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True, help="documents parquet dir")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--neardup", action="store_true",
+                    help="elect keepers per MinHash-LSH cluster (default: exact-dup)")
+    ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--lang", action="append", default=None)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="reliable checkpoint dir for the CC iterations (set on clusters)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ocr_table_extractor_to_csv_spark.session import get_spark
+
+    spark = get_spark(app_name="curate")
+    docs = spark.read.parquet(args.documents)
+    kept = run_curate(
+        spark,
+        docs,
+        out=args.out,
+        neardup=args.neardup,
+        min_quality=args.min_quality,
+        langs=args.lang,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    stats = kept.agg(
+        F.count("*").alias("n_kept"), F.sum("n_tokens").alias("kept_tokens")
+    ).collect()[0]
+    n_in = docs.count()
+    print(json.dumps({
+        "n_documents": n_in,
+        "n_kept": stats.n_kept,
+        "kept_tokens": int(stats.kept_tokens or 0),
+        "keep_rate": round(stats.n_kept / max(1, n_in), 4),
+        "mode": "neardup" if args.neardup else "exact",
+        "out": args.out,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

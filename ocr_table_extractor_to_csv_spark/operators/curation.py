@@ -136,6 +136,48 @@ def decontaminate(
     )
 
 
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Pretraining sequence packing: assign each document a (shard, bin)
+    slot under a fixed token ``budget`` per bin — (doc_id, shard, n_tokens,
+    bin_id, offset_in_bin).
+
+    Spec (deterministic, shared with the SQL oracle): docs are sharded by
+    doc_id % n_shards; within a shard, docs are taken in doc_id order and
+    packed CONTIGUOUS-FILL — a running token cumsum, bin_id =
+    (cumsum - n) // budget, offset = (cumsum - n) % budget — i.e. documents
+    stream into bins back-to-back and one doc may STRADDLE a bin boundary
+    (the standard pretraining concat-then-chunk regime, not first-fit;
+    docs longer than the budget simply span multiple bins).
+
+    Scale shape: ONE window cumsum partitioned by shard — each shard's
+    packing is independent, so parallelism = n_shards (set it to a multiple
+    of the cluster's cores; a global single-window pack would serialize).
+    """
+    from pyspark.sql.window import Window
+
+    from .textstats import tokens_col
+
+    n = F.size(tokens_col(F.col("text")))
+    base = documents.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        n.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("bin_id"),
+        F.pmod(cum - F.col("n_tokens"), F.lit(budget)).cast("int").alias("offset_in_bin"),
+    )
+
+
 def sample_stratified(
     documents: DataFrame,
     rates: dict | None = None,

@@ -27,6 +27,27 @@ def test_run_doc_cli_matches_kernel(tmp_path):
     assert num.exists() and num.read_bytes() == res.csv_numeric
 
 
+def test_curate_job_exact_and_neardup(tmp_path, spark):
+    """The curate job writes keepers (+ bucket stats in neardup mode) and
+    its outputs equal the operators it wraps."""
+    from jobs.curate_job import run_curate
+    from ocr_table_extractor_to_csv_spark.operators.curation import curate, curate_neardup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out1 = str(tmp_path / "exact")
+    kept = run_curate(spark, docs, out=out1)
+    assert {tuple(r) for r in kept.collect()} == {tuple(r) for r in curate(docs).collect()}
+
+    out2 = str(tmp_path / "near")
+    ckpt = str(tmp_path / "ckpt")
+    kept2 = run_curate(spark, docs, out=out2, neardup=True, checkpoint_dir=ckpt)
+    assert {tuple(r) for r in kept2.collect()} == {
+        tuple(r) for r in curate_neardup(docs).collect()
+    }
+    stats = spark.read.parquet(f"{out2}/bucket_stats")
+    assert stats.count() > 0 and "n_docs_in_hot" in stats.columns
+
+
 def test_run_doc_cli_transformer_max_cols(tmp_path):
     """--transformer-max-cols (run.py parity, ADVICE r2): the transformers
     layout's target column count must flow expected_n_cols -> max_columns ->

@@ -505,6 +505,26 @@ def test_sample_stratified_deterministic_and_bounded(spark):
     assert c != a
 
 
+def test_pack_sequences_contiguous_fill(spark):
+    """Contiguous-fill packing: running cumsum within a shard, docs may
+    straddle bin boundaries, long docs span multiple bins."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import pack_sequences
+
+    # one shard (n_shards=1): token counts 3, 4, 6 with budget 5
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f g"), (2, "h i j k l m")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(docs, budget=5, n_shards=1).collect()}
+    assert (rows[0].bin_id, rows[0].offset_in_bin) == (0, 0)   # cum 3
+    assert (rows[1].bin_id, rows[1].offset_in_bin) == (0, 3)   # straddles 5
+    assert (rows[2].bin_id, rows[2].offset_in_bin) == (1, 2)   # cum 7 -> bin 1
+    # sharding: docs land in doc_id % n_shards, packed independently
+    sharded = pack_sequences(docs, budget=5, n_shards=2).collect()
+    assert {r.shard for r in sharded} == {0, 1}
+    assert all(r.offset_in_bin < 5 for r in sharded)
+
+
 def test_curate_neardup_equals_operator_composition(spark):
     """curate_neardup must equal the definitional composition of the
     standalone operators with CLUSTER keepers (quality x lang x
