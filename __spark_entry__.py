@@ -375,6 +375,29 @@ def _oracle_mixed_dispatch() -> str:
     )
 
 
+def q_extract_transformers(spark, sf_dir):
+    """The reference's 4th CLI layout (transformers) through its non-model
+    heuristic reconstruction (layout_transformers.py:516-537) end-to-end:
+    on the synthesized grid pages with expected_n_cols=4 the heuristic path
+    is exactly the generic derivation (the body cell strip is a no-op on
+    single alnum tokens), so ORACLE_GRID4 value-checks the whole layout
+    dispatch; the fallback cascade (spatial grid) stays pytest-pinned."""
+    pages = pages_from_documents(_docs(spark, sf_dir))
+    ext = extract_pages(
+        pages.select("url", "html"), layout="transformers", args={"expected_n_cols": 4}
+    )
+    return (
+        ext.withColumn("doc_id", F.split(F.col("url"), "://")[1].cast("long"))
+        .select(
+            "doc_id",
+            F.col("n_rows"),
+            F.col("n_cols"),
+            F.md5(_strip_bom_text("csv")).alias("csv_md5"),
+            F.md5(F.col("main_text")).alias("text_md5"),
+        )
+    )
+
+
 def q_extract_args_dispatch(spark, sf_dir):
     """Per-row ARGS dispatch end-to-end with a full SQL oracle: one
     extract_pages(per_row_dispatch=True) call where every row carries its
@@ -1464,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fixture_boiler": q_extract_fixture_boiler,
         "extract_mixed_dispatch": q_extract_mixed_dispatch,
         "extract_args_dispatch": q_extract_args_dispatch,
+        "extract_transformers": q_extract_transformers,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
@@ -1507,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_fixture_boiler": ORACLE_BOILER,
         "extract_mixed_dispatch": _oracle_mixed_dispatch(),
         "extract_args_dispatch": ORACLE_ARGS_DISPATCH,
+        "extract_transformers": ORACLE_GRID4,
         "token_count": ORACLE_TOKEN_COUNT,
         "token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
         "text_quality": ORACLE_TEXT_QUALITY,
