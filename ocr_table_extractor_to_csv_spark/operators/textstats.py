@@ -161,6 +161,29 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _run_stats(arr: Column) -> Column:
+    """struct(best, uniq) over a SORTED array: longest equal-run length and
+    number of distinct values — one JVM fold, no explode, no shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("uniq"),
+    )
+
+    def step(acc, x):
+        is_new = acc["prev"].isNull() | (x != acc["prev"])
+        cur = F.when(is_new, F.lit(1).cast("long")).otherwise(acc["cur"] + 1)
+        return F.struct(
+            x.alias("prev"),
+            cur.alias("cur"),
+            F.greatest(acc["best"], cur).alias("best"),
+            F.when(is_new, acc["uniq"] + 1).otherwise(acc["uniq"]).alias("uniq"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step)
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition quality signals:
     (doc_id, n_tokens, top_token_frac, top_bigram_frac, unique_token_frac).
@@ -170,25 +193,15 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     unique_token_frac = distinct tokens / n_tokens
     (0.0 for degenerate sizes; all ratios rounded to 5.)
 
-    Scale shape: two explode -> groupBy(doc_id, gram) -> groupBy(doc_id)
-    chains (map-side partial counts; a few longs per doc cross the second
-    shuffle) joined back to one pruned documents scan — no all-token state
-    ever sits on one node."""
+    Scale shape: MAP-ONLY — per-doc array_sort + one JVM aggregate fold
+    per signal (longest equal-run = top count on a sorted array), so
+    nothing shuffles at all.  The naive explode -> groupBy(doc, token)
+    formulation ships every distinct (doc, token) pair across the wire
+    (~10^12 rows at 100 TB); the oracle keeps that relational formulation
+    (values are identical by definition), the engine keeps the map-only
+    plan (plan-pinned: zero Exchange)."""
     toks = tokens_col(F.col("text"))
     base = documents.select("doc_id", toks.alias("ts"))
-
-    tok_counts = (
-        base.select("doc_id", F.explode("ts").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.max("count").alias("top_tok"),
-            F.count("*").alias("n_unique"),
-            F.sum("count").alias("n_toks"),
-        )
-    )
-    # COUNTED bigrams (not distinct): one zip_with over two shifted slices
     k = F.size(F.col("ts"))
     grams = F.when(
         k >= 2,
@@ -198,33 +211,24 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             lambda a, b: F.concat(a, F.lit("_"), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg_counts = (
-        base.select("doc_id", F.explode(grams).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_bg"))
+    stats = base.select(
+        "doc_id",
+        k.alias("n"),
+        _run_stats(F.col("ts")).alias("t"),
+        _run_stats(grams).alias("b"),
     )
-    out = (
-        documents.select("doc_id")
-        .join(tok_counts, "doc_id", "left")
-        .join(bg_counts, "doc_id", "left")
-    )
-    n = F.coalesce(F.col("n_toks"), F.lit(0)).cast("int")
-    return out.select(
+    n = F.col("n")
+    return stats.select(
         "doc_id",
         n.alias("n_tokens"),
         F.round(
-            F.when(n > 0, F.col("top_tok") / n).otherwise(F.lit(0.0)), 5
+            F.when(n > 0, F.col("t.best") / n).otherwise(F.lit(0.0)), 5
         ).alias("top_token_frac"),
         F.round(
-            F.when(n > 1, F.coalesce(F.col("top_bg"), F.lit(0)) / (n - 1)).otherwise(
-                F.lit(0.0)
-            ),
-            5,
+            F.when(n > 1, F.col("b.best") / (n - 1)).otherwise(F.lit(0.0)), 5
         ).alias("top_bigram_frac"),
         F.round(
-            F.when(n > 0, F.col("n_unique") / n).otherwise(F.lit(0.0)), 5
+            F.when(n > 0, F.col("t.uniq") / n).otherwise(F.lit(0.0)), 5
         ).alias("unique_token_frac"),
     )
 

@@ -168,13 +168,14 @@ def test_decontaminate_broadcasts_eval_side(spark):
 
 
 def test_pii_and_sampling_jvm_only_single_scan(spark):
-    """pii_scrub and sample_stratified are map-only passes: one scan, no
-    shuffle, no Python."""
+    """pii_scrub, sample_stratified, and repetition_stats are map-only
+    passes: one scan, no shuffle, no Python (repetition via per-doc
+    array_sort + fold instead of an explode/groupBy token shuffle)."""
     import re
 
     import __spark_entry__ as entry_mod
 
-    for name in ("pii_scrub", "sample_stratified"):
+    for name in ("pii_scrub", "sample_stratified", "repetition_stats"):
         df = entry_mod.queries()[name](spark, "/root/testdata/sf0.001")
         plan = _formatted(spark, df)
         assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1, name
