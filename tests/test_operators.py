@@ -458,6 +458,35 @@ def test_repetition_stats_known_values(spark):
     assert rows[3].n_tokens == 1 and rows[3].top_bigram_frac == 0.0
 
 
+def test_repetition_stats_matches_definitional_python(spark):
+    """The map-only sort+fold must equal the Counter-based definition on
+    200 seeded random token lists (incl. empty/single/all-same edges)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "dd", "e1"]
+    texts = ["", "a", "a a a a"] + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40)))
+        for _ in range(197)
+    ]
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    from ocr_table_extractor_to_csv_spark.operators import textstats
+
+    got = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split() if t.strip() else []
+        n = len(toks)
+        grams = [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        exp = (
+            n,
+            round(max(Counter(toks).values()) / n, 5) if n else 0.0,
+            round(max(Counter(grams).values()) / (n - 1), 5) if n > 1 else 0.0,
+            round(len(set(toks)) / n, 5) if n else 0.0,
+        )
+        assert tuple(got[i])[1:] == exp, (i, t, tuple(got[i]), exp)
+
+
 def test_source_stats_exact_aggregates(spark):
     from ocr_table_extractor_to_csv_spark.operators import textstats
 
