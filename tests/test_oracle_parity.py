@@ -4,6 +4,7 @@ value multiset).  This is the same comparison the driver runs, done locally
 so regressions never reach CORRECTNESS_r{N}.json."""
 
 import math
+import os
 from pathlib import Path
 
 import duckdb
@@ -11,7 +12,8 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1 for the 10x sweep
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
