@@ -556,6 +556,59 @@ _PII_SUFFIX_SPARK = lambda: F.concat(  # noqa: E731
 )
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary statistics: top-100 tokens by term frequency with
+    document frequency alongside (tie rule tf DESC, token ASC makes the
+    k-boundary deterministic)."""
+    return textstats.vocab_topk(_docs(spark, sf_dir))
+
+
+ORACLE_VOCAB_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(ts) AS token
+  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents) _t
+)
+SELECT token, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok GROUP BY 1
+ORDER BY tf DESC, token ASC LIMIT 100
+"""
+
+
+SEARCH_TERMS = ("data", "join", "scan", "vector")
+
+
+def q_search_topk(spark, sf_dir):
+    """Keyword search scoring over the corpus (rational-idf variant; see
+    textstats.search_topk for why not ln)."""
+    return textstats.search_topk(_docs(spark, sf_dir), SEARCH_TERMS)
+
+
+def _oracle_search_topk(k: int = 20) -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(SEARCH_TERMS)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(ts) AS term
+  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents) _t
+), m AS (
+  SELECT doc_id, term FROM tok WHERE term IN ({terms})
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM m GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY 1
+), j AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (CAST((SELECT count(*) + 1 FROM documents) AS DOUBLE) / (df.df + 1)) AS val
+  FROM tf JOIN df USING (term)
+), s AS (
+  SELECT doc_id, count(*) AS n_hits,
+         round(list_reduce(list(val ORDER BY term), (a, b) -> a + b), 5) AS score
+  FROM j GROUP BY 1
+)
+SELECT doc_id, n_hits, score FROM s
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", _PII_SUFFIX_SPARK().alias("text"))
     return textstats.pii_scrub(docs)
@@ -1494,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "pii_scrub": q_pii_scrub,
+        "vocab_topk": q_vocab_topk,
+        "search_topk": q_search_topk,
         "repetition_stats": q_repetition_stats,
         "source_stats": q_source_stats,
         "decontaminate": q_decontaminate,
@@ -1538,6 +1593,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _oracle_lang_id(),
         "fingerprint": ORACLE_FINGERPRINT,
         "pii_scrub": _oracle_pii_scrub(),
+        "vocab_topk": ORACLE_VOCAB_TOPK,
+        "search_topk": _oracle_search_topk(),
         "repetition_stats": _oracle_repetition(),
         "source_stats": ORACLE_SOURCE_STATS,
         "decontaminate": _oracle_decontaminate(),

@@ -233,7 +233,76 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def source_stats(documents: DataFrame) -> DataFrame:
+def vocab_topk(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary statistics: the top-``k`` tokens by term frequency
+    — (token, tf, df) ordered (tf DESC, token ASC; the tie rule makes the
+    k-boundary deterministic).
+
+    Scale shape: explode -> ONE groupBy(token) computing tf and df together
+    (map-side partial agg; all of a doc's tokens are co-partitioned so the
+    distinct-doc side combines locally), then a distributed TakeOrdered
+    (orderBy + limit — never a single-partition window)."""
+    toks = tokens_col(F.col("text"))
+    return (
+        documents.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def search_topk(
+    documents: DataFrame, query_terms, k: int = 20
+) -> DataFrame:
+    """Keyword search scoring: top-``k`` documents for a bag of query terms
+    — (doc_id, n_hits, score), score = sum over matched terms of
+    tf(term, doc) * (N + 1) / (df(term) + 1).
+
+    The idf is the RATIONAL variant (not ln): every factor is an exact-int
+    ratio evaluated once in double, so the score is bit-identical across
+    engines (ln is not correctly-rounded and may differ in the last ulp
+    between libm implementations — a silent cross-engine tie-break hazard).
+
+    Scale shape: tokens are filtered to the query bag BEFORE any shuffle
+    (the explode emits only matching terms), df is a tiny per-term
+    aggregate joined back broadcast-style, and the final top-k is a
+    distributed orderBy + limit."""
+    terms = sorted(set(query_terms))
+    toks = tokens_col(F.col("text"))
+    matches = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(toks, lambda x: x.isin(terms))
+        ).alias("term"),
+    )
+    tf = matches.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = matches.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = documents.count()
+    per_term = F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df") + 1))
+    # the per-doc score folds term contributions IN TERM ORDER (array_sort
+    # on (term, val) structs, then a left-to-right aggregate): a plain
+    # F.sum over doubles is partition-order dependent, which would be a
+    # silent cross-engine hash divergence for docs matching >= 3 terms
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term"), per_term.alias("val")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["val"],
+            ).alias("raw_score"),
+        )
+        .select("doc_id", "n_hits", F.round("raw_score", 5).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     """Per-source corpus rollup for mix planning: (source, n_docs,
     total_tokens, total_chars, min_quality, max_quality).  Deliberately
     ONLY order-independent aggregates (integer sums, min/max) so the result

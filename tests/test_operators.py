@@ -487,6 +487,31 @@ def test_repetition_stats_matches_definitional_python(spark):
         assert tuple(got[i])[1:] == exp, (i, t, tuple(got[i]), exp)
 
 
+def test_vocab_topk_counts_and_tie_cut(spark):
+    from ocr_table_extractor_to_csv_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b z"), (2, "a c z")], "doc_id long, text string"
+    )
+    rows = [(r.token, r.tf, r.df) for r in textstats.vocab_topk(docs, k=3).collect()]
+    # tf ties (b,c,z all candidates at tf<=2) break token-ASC at the k cut
+    assert rows == [("a", 3, 2), ("z", 2, 2), ("b", 1, 1)]
+
+
+def test_search_topk_score_formula(spark):
+    from ocr_table_extractor_to_csv_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "data data join"), (2, "data"), (3, "nothing here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.search_topk(docs, ["data", "join"]).collect()}
+    # N=3; df(data)=2, df(join)=1 -> idf(data)=4/3, idf(join)=4/2
+    assert rows[1].n_hits == 2 and rows[1].score == round(2 * (4 / 3) + 1 * 2.0, 5)
+    assert rows[2].n_hits == 1 and rows[2].score == round(1 * (4 / 3), 5)
+    assert 3 not in rows
+
+
 def test_source_stats_exact_aggregates(spark):
     from ocr_table_extractor_to_csv_spark.operators import textstats
 
