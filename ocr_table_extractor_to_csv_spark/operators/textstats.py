@@ -303,6 +303,9 @@ def search_topk(
         .select("doc_id", "n_hits", F.round("raw_score", 5).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
     """Per-source corpus rollup for mix planning: (source, n_docs,
     total_tokens, total_chars, min_quality, max_quality).  Deliberately
     ONLY order-independent aggregates (integer sums, min/max) so the result
