@@ -1,0 +1,165 @@
+"""WARC source: Common-Crawl-style archives -> the canonical pages frame.
+
+The reference consumes one local hOCR file per run (parser.py:23-25); a
+web-scale corpus arrives as WARC segments.  This source turns a directory
+of ``.warc`` / ``.warc.gz`` files into the engine's canonical
+``pages(url, warc_ts, html)`` DataFrame with no external WARC library:
+
+  * ``spark.read.format("binaryFile")`` scans the segment files (one task
+    per file — WARC members are not splittable anyway; Common Crawl ships
+    ~1 GB segments sized for exactly this);
+  * one ``mapInArrow`` stage parses records per file: WARC/1.x headers are
+    CRLF-delimited key:value blocks, each followed by ``Content-Length``
+    payload bytes and a CRLF CRLF record separator — parsed with plain
+    byte scanning;
+  * only ``WARC-Type: response`` records with an http/html payload are
+    emitted; the HTTP response header block is stripped so ``html`` is the
+    body bytes the kernel expects;
+  * ``.gz`` segments are decompressed with ``gzip.decompress``, which
+    handles the member-per-record concatenation Common Crawl uses (each
+    record its own gzip member) as well as whole-file compression.
+
+Scale notes: parsing is bytes-proportional and embarrassingly parallel
+(one file per task); memory is bounded by one decompressed segment per
+task — the same envelope any WARC consumer has.  Malformed records are
+skipped with a per-file error row (never a task failure), matching the
+extraction kernel's error contract.
+"""
+
+from __future__ import annotations
+
+import gzip
+from datetime import datetime, timezone
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+WARC_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, error string"
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _parse_headers(block: bytes) -> dict:
+    headers: dict = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+    return headers
+
+
+def _strip_http_headers(payload: bytes) -> bytes:
+    """Response records carry an HTTP header block before the body."""
+    if payload[:5] in (b"HTTP/",):
+        sep = payload.find(_CRLF2)
+        if sep != -1:
+            return payload[sep + 4 :]
+    return payload
+
+
+def _parse_warc_ts(raw: Optional[str]):
+    if not raw:
+        return None
+    try:
+        return datetime.strptime(raw, "%Y-%m-%dT%H:%M:%SZ").replace(
+            tzinfo=timezone.utc
+        )
+    except ValueError:
+        return None
+
+
+def parse_warc_records(data: bytes) -> Iterator[Tuple[str, object, bytes]]:
+    """Yield (url, warc_ts, html_bytes) for each response record."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"not a WARC record at offset {pos}")
+        hdr_end = data.find(_CRLF2, pos)
+        if hdr_end == -1:
+            raise ValueError("truncated WARC header block")
+        headers = _parse_headers(data[pos:hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record missing Content-Length")
+        body_start = hdr_end + 4
+        body_end = body_start + length
+        if body_end > n:
+            raise ValueError("WARC record payload exceeds file size")
+        if headers.get("warc-type") == "response":
+            url = headers.get("warc-target-uri", "")
+            ts = _parse_warc_ts(headers.get("warc-date"))
+            yield url, ts, _strip_http_headers(data[body_start:body_end])
+        pos = body_end
+
+
+def read_warc(spark, path: str) -> DataFrame:
+    """Directory/glob of .warc/.warc.gz files -> (url, warc_ts, html, error).
+
+    Parse failures produce ONE error row per bad file (url = file path,
+    html NULL) instead of a task failure.
+    """
+
+    def fn(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            paths = b.column("path").to_pylist()
+            contents = b.column("content").to_pylist()
+            urls: List[Optional[str]] = []
+            tss: List[object] = []
+            htmls: List[Optional[bytes]] = []
+            errs: List[Optional[str]] = []
+            for p, raw in zip(paths, contents):
+                try:
+                    data = bytes(raw or b"")
+                    if data[:2] == b"\x1f\x8b":
+                        # multi-member aware: CC gzips one member per record
+                        data = gzip.decompress(data)
+                    for url, ts, html in parse_warc_records(data):
+                        urls.append(url)
+                        tss.append(ts)
+                        htmls.append(html)
+                        errs.append(None)
+                except Exception as exc:
+                    urls.append(p)
+                    tss.append(None)
+                    htmls.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(tss, pa.timestamp("us", tz="UTC")),
+                    pa.array(htmls, pa.binary()),
+                    pa.array(errs, pa.string()),
+                ],
+                names=["url", "warc_ts", "html", "error"],
+            )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInArrow(fn, WARC_PAGES_SCHEMA)
+
+
+def warc_record(url: str, ts: str, body: bytes, warc_type: str = "response") -> bytes:
+    """One WARC/1.0 response record with an HTTP header block (test/sink
+    helper; the byte layout is the one parse_warc_records consumes)."""
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    header = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts}\r\n"
+        f"Content-Length: {len(http)}\r\n"
+    ).encode()
+    return header + b"\r\n" + http + b"\r\n\r\n"

@@ -1,0 +1,78 @@
+"""WARC source: synthetic segments round-trip through the reader and the
+extraction kernel (plain, gzip whole-file, and gzip member-per-record —
+the Common Crawl layout)."""
+
+import gzip
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from ocr_table_extractor_to_csv_spark.operators.extract import extract_pages
+from ocr_table_extractor_to_csv_spark.sources.pages import grid_hocr, grid_tokens
+from ocr_table_extractor_to_csv_spark.sources.warc import (
+    parse_warc_records,
+    read_warc,
+    warc_record,
+)
+
+TS = "2025-01-01T00:00:0{i}Z"
+
+
+def _docs():
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine ten eleven twelve",
+    ]
+    return [
+        (f"https://t.example/{i}", TS.format(i=i), grid_hocr(grid_tokens(t)))
+        for i, t in enumerate(texts)
+    ]
+
+
+def _segment(docs) -> bytes:
+    out = b""
+    for url, ts, html in docs:
+        # interleave non-response records: the reader must skip them
+        out += warc_record(f"{url}#req", ts, b"GET / HTTP/1.1", warc_type="request")
+        out += warc_record(url, ts, html)
+    return out
+
+
+def test_parse_warc_records_roundtrip():
+    docs = _docs()
+    recs = list(parse_warc_records(_segment(docs)))
+    assert [(u, h) for u, _ts, h in recs] == [(u, h) for u, _t, h in docs]
+    assert all(ts is not None for _u, ts, _h in recs)
+
+
+def test_read_warc_all_layouts_and_extract(spark, tmp_path):
+    docs = _docs()
+    seg = _segment(docs)
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "plain.warc").write_bytes(seg)
+    (d / "whole.warc.gz").write_bytes(gzip.compress(seg))
+    # Common Crawl layout: one gzip MEMBER per record, concatenated
+    members = b"".join(
+        gzip.compress(warc_record(u, t, h)) for u, t, h in docs
+    )
+    (d / "members.warc.gz").write_bytes(members)
+    (d / "broken.warc").write_bytes(b"NOT A WARC FILE")
+
+    pages = read_warc(spark, str(d))
+    good = pages.where(F.col("error").isNull())
+    bad = pages.where(F.col("error").isNotNull()).collect()
+    rows = good.collect()
+    # 2 docs x 3 readable layouts; the broken file yields ONE error row
+    assert len(rows) == 6
+    assert len(bad) == 1 and "broken.warc" in bad[0].url
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r.url, []).append(bytes(r.html))
+    for url, _ts, html in docs:
+        assert by_url[url] == [html] * 3
+
+    # the reader's output IS the kernel's input: extraction runs clean
+    ext = extract_pages(good.select("url", "html"), layout="generic").collect()
+    assert len(ext) == 6 and all(r.error is None for r in ext)
+    assert {r.n_cols for r in ext} == {4}
