@@ -105,7 +105,14 @@ def run_extract(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="pages parquet dir or table")
+    src.add_argument(
+        "--warc",
+        help="directory/glob of raw .warc/.warc.gz segments (Common Crawl "
+        "layout; parsed by sources/warc.py, parse-error rows dropped with "
+        "a count printed)",
+    )
     ap.add_argument("--out", required=True)
     ap.add_argument("--progress", required=True)
     ap.add_argument("--manifests", default=None)
@@ -121,8 +128,19 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(app_name=f"extract-batch-{args.batch_id}")
-    pages = spark.read.parquet(args.pages)
+    if args.warc:
+        from ocr_table_extractor_to_csv_spark.sources.warc import read_warc
+
+        raw = read_warc(spark, args.warc)
+        n_bad = raw.where(F.col("error").isNotNull()).count()
+        if n_bad:
+            print(f"warc: {n_bad} unreadable segment(s) skipped")
+        pages = raw.where(F.col("error").isNull())
+    else:
+        pages = spark.read.parquet(args.pages)
     if args.lang:
+        if "lang" not in pages.columns:
+            raise SystemExit("--lang requires a source with a lang column (not --warc)")
         # pushdown filter reaches the parquet scan (check .explain PushedFilters)
         pages = pages.where(F.col("lang") == args.lang)
     cols = ["url", "html"] + (["layout", "args"] if args.per_row_dispatch else [])

@@ -76,3 +76,24 @@ def test_read_warc_all_layouts_and_extract(spark, tmp_path):
     ext = extract_pages(good.select("url", "html"), layout="generic").collect()
     assert len(ext) == 6 and all(r.error is None for r in ext)
     assert {r.n_cols for r in ext} == {4}
+
+
+def test_warc_through_extract_job_resume_path(spark, tmp_path):
+    """Raw segments through the FULL batch job (resume anti-join, giants
+    split, progress commit) — the --warc entry's job body."""
+    from jobs.extract_job import run_extract
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(_segment(_docs()))
+    pages = read_warc(spark, str(d)).where(F.col("error").isNull())
+    committed = run_extract(
+        spark,
+        pages.select("url", "html"),
+        out=str(tmp_path / "out"),
+        progress_path=str(tmp_path / "progress"),
+        batch_id=1,
+        layout="generic",
+    )
+    rows = committed.collect()
+    assert len(rows) == 2 and all(r.error is None for r in rows)
