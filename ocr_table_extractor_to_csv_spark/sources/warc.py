@@ -101,54 +101,57 @@ def parse_warc_records(data: bytes) -> Iterator[Tuple[str, object, bytes]]:
         pos = body_end
 
 
-def read_warc(spark, path: str) -> DataFrame:
-    """Directory/glob of .warc/.warc.gz files -> (url, warc_ts, html, error).
+def warc_batches_fn(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel over (path, content) file batches -> page rows.
 
-    Parse failures produce ONE error row per bad file (url = file path,
-    html NULL) instead of a task failure.
+    Shared by the batch reader (read_warc) and the streaming ingester
+    (streaming.incremental.incremental_extract_warc).  Parse failures
+    produce ONE error row per bad file (url = file path, html NULL)
+    instead of a task failure.
     """
+    for b in batches:
+        paths = b.column("path").to_pylist()
+        contents = b.column("content").to_pylist()
+        urls: List[Optional[str]] = []
+        tss: List[object] = []
+        htmls: List[Optional[bytes]] = []
+        errs: List[Optional[str]] = []
+        for p, raw in zip(paths, contents):
+            try:
+                data = bytes(raw or b"")
+                if data[:2] == b"\x1f\x8b":
+                    # multi-member aware: CC gzips one member per record
+                    data = gzip.decompress(data)
+                for url, ts, html in parse_warc_records(data):
+                    urls.append(url)
+                    tss.append(ts)
+                    htmls.append(html)
+                    errs.append(None)
+            except Exception as exc:
+                urls.append(p)
+                tss.append(None)
+                htmls.append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(tss, pa.timestamp("us", tz="UTC")),
+                pa.array(htmls, pa.binary()),
+                pa.array(errs, pa.string()),
+            ],
+            names=["url", "warc_ts", "html", "error"],
+        )
 
-    def fn(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for b in batches:
-            paths = b.column("path").to_pylist()
-            contents = b.column("content").to_pylist()
-            urls: List[Optional[str]] = []
-            tss: List[object] = []
-            htmls: List[Optional[bytes]] = []
-            errs: List[Optional[str]] = []
-            for p, raw in zip(paths, contents):
-                try:
-                    data = bytes(raw or b"")
-                    if data[:2] == b"\x1f\x8b":
-                        # multi-member aware: CC gzips one member per record
-                        data = gzip.decompress(data)
-                    for url, ts, html in parse_warc_records(data):
-                        urls.append(url)
-                        tss.append(ts)
-                        htmls.append(html)
-                        errs.append(None)
-                except Exception as exc:
-                    urls.append(p)
-                    tss.append(None)
-                    htmls.append(None)
-                    errs.append(f"{type(exc).__name__}: {exc}")
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(urls, pa.string()),
-                    pa.array(tss, pa.timestamp("us", tz="UTC")),
-                    pa.array(htmls, pa.binary()),
-                    pa.array(errs, pa.string()),
-                ],
-                names=["url", "warc_ts", "html", "error"],
-            )
 
+def read_warc(spark, path: str) -> DataFrame:
+    """Directory/glob of .warc/.warc.gz files -> (url, warc_ts, html, error)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path)
         .select("path", "content")
     )
-    return files.mapInArrow(fn, WARC_PAGES_SCHEMA)
+    return files.mapInArrow(warc_batches_fn, WARC_PAGES_SCHEMA)
 
 
 def warc_record(url: str, ts: str, body: bytes, warc_type: str = "response") -> bytes:

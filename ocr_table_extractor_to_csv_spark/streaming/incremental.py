@@ -59,3 +59,45 @@ def incremental_extract(
     )
     query.awaitTermination()
     return query
+
+
+def incremental_extract_warc(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    layout: str = "auto",
+):
+    """Incremental ingestion of RAW Common-Crawl segments: a binaryFile
+    file stream over ``.warc``/``.warc.gz`` arrivals, the shared WARC
+    record splitter, then the extraction kernel — one availableNow pass
+    per call, exactly-once per segment via the checkpoint.  This is the
+    shape of a crawl-follower: drop new segments in the directory,
+    re-trigger, only the delta is parsed and extracted."""
+    from ..sources.warc import WARC_PAGES_SCHEMA, warc_batches_fn
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        # streaming sources require an explicit schema; binaryFile's is fixed
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.warc*")
+        .load(warc_dir)
+        .select("path", "content")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        pages = batch_df.mapInArrow(warc_batches_fn, WARC_PAGES_SCHEMA).where(
+            F.col("error").isNull()
+        )
+        extract_pages(pages.select("url", "html"), layout=layout).withColumn(
+            "stream_batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(out_dir)
+
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -78,6 +78,33 @@ def test_read_warc_all_layouts_and_extract(spark, tmp_path):
     assert {r.n_cols for r in ext} == {4}
 
 
+def test_warc_streaming_incremental_exactly_once(spark, tmp_path):
+    """Crawl-follower shape: availableNow over arriving segments — the
+    first pass extracts segment 1; dropping segment 2 and re-triggering
+    processes ONLY the delta; a third trigger with nothing new is a no-op."""
+    from ocr_table_extractor_to_csv_spark.streaming.incremental import (
+        incremental_extract_warc,
+    )
+
+    docs = _docs()
+    d = tmp_path / "warcs"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (d / "seg1.warc").write_bytes(warc_record(*docs[0]))
+    incremental_extract_warc(spark, str(d), out, ckpt, layout="generic")
+    assert spark.read.parquet(out).count() == 1
+
+    (d / "seg2.warc.gz").write_bytes(gzip.compress(warc_record(*docs[1])))
+    incremental_extract_warc(spark, str(d), out, ckpt, layout="generic")
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r.url for r in got.collect()} == {u for u, _t, _h in docs}
+
+    incremental_extract_warc(spark, str(d), out, ckpt, layout="generic")
+    assert spark.read.parquet(out).count() == 2
+
+
 def test_warc_through_extract_job_resume_path(spark, tmp_path):
     """Raw segments through the FULL batch job (resume anti-join, giants
     split, progress commit) — the --warc entry's job body."""
