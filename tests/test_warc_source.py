@@ -78,6 +78,23 @@ def test_read_warc_all_layouts_and_extract(spark, tmp_path):
     assert {r.n_cols for r in ext} == {4}
 
 
+def test_parse_warc_records_length_framed_not_delimiter_scanned():
+    """Bodies containing CRLF CRLF (the classic WARC-parser trap) must not
+    split records: framing is Content-Length, never delimiter scanning.
+    Also: random seeded bodies with arbitrary bytes round-trip exactly."""
+    import random
+
+    rng = random.Random(3)
+    docs = []
+    for i in range(25):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        body += b"\r\n\r\nWARC/1.0\r\n"  # embedded fake record start
+        docs.append((f"https://r.example/{i}", f"2025-01-01T00:{i:02d}:00Z", body))
+    seg = b"".join(warc_record(u, t, b) for u, t, b in docs)
+    recs = list(parse_warc_records(seg))
+    assert [(u, h) for u, _t, h in recs] == [(u, h) for u, _t, h in docs]
+
+
 def test_warc_streaming_incremental_exactly_once(spark, tmp_path):
     """Crawl-follower shape: availableNow over arriving segments — the
     first pass extracts segment 1; dropping segment 2 and re-triggering
