@@ -1257,6 +1257,37 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: pigeonhole banding (exact recall at the
+    hamming radius) + bit_count confirm, hot buckets capped."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+def _oracle_simhash_pairs(max_hamming: int = 3, max_bucket: int = 1024) -> str:
+    n_bands = max_hamming + 1
+    band_bits = dedup.SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    return f"""
+WITH sh AS MATERIALIZED ({ORACLE_SIMHASH}),
+bands0 AS (
+  SELECT doc_id, simhash, b AS band,
+         simhash & (CAST({mask} AS BIGINT) << ({band_bits} * b)) AS bkey
+  FROM sh, UNNEST(generate_series(0, {n_bands - 1})) AS u(b)
+), bands AS (
+  SELECT doc_id, simhash, band, bkey FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands0
+  ) _c WHERE bsz <= {max_bucket}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS h_a, b.simhash AS h_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH-bucket candidates (never
     all-pairs), exact cosine >= 0.35 confirms; hot buckets capped."""
@@ -1562,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
@@ -1608,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_stats": ORACLE_LSH_BUCKET_STATS,
         "dedup_clusters": _oracle_dedup_clusters(),
         "simhash": ORACLE_SIMHASH,
+        "simhash_pairs": _oracle_simhash_pairs(),
         "dedup_embedding": _oracle_dedup_embedding(),
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "similarity_lsh": ORACLE_SIMILARITY_LSH,

@@ -313,3 +313,71 @@ def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
     packed = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(bits))
     return sums.select("doc_id", F.expr(packed).alias("simhash"))
+
+
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_MAX_BUCKET = 1024
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: (id_a, id_b, hamming <= max_hamming).
+
+    Pigeonhole banding: split the hash into ``max_hamming + 1`` bands — two
+    hashes within ``max_hamming`` bits MUST agree exactly on at least one
+    band, so candidates = same (band, key) pairs, confirmed by
+    ``bit_count(xor)``.  Recall is exact (no LSH probability argument),
+    cost is the banded join.
+
+    Scale note: band keys carry bits/(h+1) bits — 8 here, which crowds at
+    corpus scale, so buckets above ``max_bucket`` are skipped per band
+    (same no-silent-caps contract as minhash_lsh_pairs; production should
+    run a 64-bit simhash => 16-bit bands, the standard configuration —
+    this 32-bit variant keeps the cross-engine bit-exact oracle).
+    """
+    from pyspark.sql.window import Window
+
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    sh = simhash(documents, bits)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            ((F.col("simhash").bitwiseAND(((1 << band_bits) - 1) << (band_bits * b)))).alias("bkey"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    bands = (
+        bands.withColumn("_bsz", F.count("*").over(Window.partitionBy("band", "bkey")))
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.where(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+    )

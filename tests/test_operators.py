@@ -167,6 +167,19 @@ def test_dedup_clusters_keeper_semantics(spark):
     assert rows[2].cluster_id == 2 and rows[2].is_keeper
 
 
+def test_simhash_pairs_identical_and_radius(spark):
+    """Identical docs always pair at hamming 0 (pigeonhole banding gives
+    EXACT recall at the radius); every emitted pair respects the radius."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "utterly unrelated content entirely"), (4, "mid alpha beta x")],
+        "doc_id long, text string",
+    )
+    rows = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_pairs(docs).collect()}
+    assert rows[(1, 2)] == 0
+    assert all(h <= dedup.SIMHASH_MAX_HAMMING for h in rows.values())
+
+
 def test_simhash_identical_equal_and_bounded(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps zeta")],
