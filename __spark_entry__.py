@@ -1453,6 +1453,42 @@ FROM p
 """
 
 
+def q_eval_text(spark, sf_dir):
+    """Text-accuracy evaluation (SURVEY A12) end-to-end: aligned cell pairs
+    synthesized from documents tokens with a deterministic perturbation
+    ((doc_id + pos) % 7 -> mismatch), reduced by evaluation.text_accuracy."""
+    from ocr_table_extractor_to_csv_spark.operators.evaluation import text_accuracy
+    from ocr_table_extractor_to_csv_spark.operators.textstats import tokens_col
+
+    cells = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "ref")
+    ).select(
+        "ref",
+        F.when(
+            F.pmod(F.col("doc_id") + F.col("pos"), F.lit(7)) == 0,
+            F.concat(F.col("ref"), F.lit("_x")),
+        )
+        .otherwise(F.col("ref"))
+        .alias("pred"),
+    )
+    return text_accuracy(cells)
+
+
+ORACLE_EVAL_TEXT = f"""
+WITH c AS (
+  SELECT doc_id, ts[i] AS ref,
+         CASE WHEN (doc_id + i - 1) % 7 = 0 THEN ts[i] || '_x' ELSE ts[i] END AS pred
+  FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents) _t,
+       UNNEST(generate_series(1, len(ts))) AS u(i)
+)
+SELECT CAST(count(*) AS BIGINT) AS total_cells,
+       CAST(sum(CASE WHEN ref = pred THEN 1 ELSE 0 END) AS BIGINT) AS matched_cells,
+       round(CAST(sum(CASE WHEN ref = pred THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS text_accuracy
+FROM c
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (the reference span-merge A4 as a real
     DataFrame window op): 1800s idle gap starts a new session."""
@@ -1601,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "eval_numeric": q_eval_numeric,
+        "eval_text": q_eval_text,
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
         "event_histogram": q_event_histogram,
@@ -1648,6 +1685,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _oracle_media_features(),
         "media_frames": ORACLE_MEDIA_FRAMES,
         "eval_numeric": ORACLE_EVAL_NUMERIC,
+        "eval_text": ORACLE_EVAL_TEXT,
         "sessionize": ORACLE_SESSIONIZE,
         "windowed_counts": ORACLE_WINDOWED_COUNTS,
         "event_histogram": ORACLE_EVENT_HISTOGRAM,
