@@ -42,9 +42,25 @@ _VOID = frozenset(
 
 
 def parse_title_bbox(title: Optional[str]) -> Optional[Tuple[int, int, int, int]]:
-    """structures.py:8-15 — regex *search*, ints, None when absent."""
+    """structures.py:8-15 — regex *search*, ints, None when absent.
+
+    Fast path: the overwhelmingly common title is exactly
+    ``bbox x1 y1 x2 y2`` — a split + isdigit check avoids the regex engine
+    (~10% of total scan time at 40k tokens/doc); anything else (prefixes,
+    trailing x_wconf, weird whitespace) falls back to the regex, so the
+    accepted language is IDENTICAL."""
     if not title:
         return None
+    if title.startswith("bbox "):
+        parts = title[5:].split(" ")
+        if (
+            len(parts) == 4
+            and parts[0].isdecimal()
+            and parts[1].isdecimal()
+            and parts[2].isdecimal()
+            and parts[3].isdecimal()
+        ):
+            return int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3])
     m = BBOX_RE.search(title)
     if not m:
         return None
@@ -207,21 +223,31 @@ def scan_tokens_from_dom(
 
     page_nodes = [n for n in root.iter() if _has_class(n, "ocr_page")]
     for pi, page in enumerate(page_nodes, start=1):
-        descendants = [n for n in page.iter() if n is not page]
-        # document-order ocr_line boxes with id fallback (parser.py:33-40)
+        # ONE fused pass over descendants dispatching on class (lines are
+        # still all collected BEFORE any word is resolved — a word may sit
+        # inside a line that appears later in document order); a node
+        # carrying both classes keeps both roles, exactly like the old
+        # two-pass scan.  Halves the class-attribute lookups, which
+        # profiling showed at ~6% of kernel time on token-dense docs.
         line_boxes: List[Tuple[str, Tuple[int, int, int, int]]] = []
+        word_nodes: List[object] = []
         li = 0
-        for n in descendants:
-            if _has_class(n, "ocr_line"):
+        it = page.iter()
+        next(it)  # page.iter() yields the page node itself first
+        for n in it:
+            cls = n.get("class")
+            if not cls:
+                continue
+            if "ocr_line" in cls:
                 lid = n.get("id") or f"page_{pi}_line_{li + 1}"
                 li += 1
                 lb = parse_title_bbox(n.get("title", ""))
                 if lb:
                     line_boxes.append((lid, lb))
+            if "ocrx_word" in cls:
+                word_nodes.append(n)
 
-        for n in descendants:
-            if not _has_class(n, "ocrx_word"):
-                continue
+        for n in word_nodes:
             bb = parse_title_bbox(n.get("title", ""))
             if not bb:
                 continue
@@ -230,7 +256,12 @@ def scan_tokens_from_dom(
                 X1, Y1, X2, Y2 = table_bbox
                 if not (x1 >= X1 and y1 >= Y1 and x2 <= X2 and y2 <= Y2):
                     continue
-            text = "".join(n.itertext()).strip()
+            # childless fast path (the normal hOCR word shape) avoids the
+            # itertext generator; identical to the join for 0 children
+            if n.__class__ is not _Node and len(n) == 0:
+                text = (n.text or "").strip()
+            else:
+                text = "".join(n.itertext()).strip()
             if not text:
                 continue
             lid_hit: Optional[str] = None

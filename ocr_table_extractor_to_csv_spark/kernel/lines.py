@@ -100,8 +100,14 @@ def build_lines(tok: TokenArrays) -> List[Line]:
             band_lo, band_hi = y1l[i], y2l[i]
             continue
         t_lo, t_hi = y1l[i], y2l[i]
-        inter = min(band_hi, t_hi) - max(band_lo, t_lo)
-        denom = min(band_hi - band_lo, t_hi - t_lo)
+        # inline conditionals: 2 builtin min/max calls per token measurably
+        # show up at 40k tokens/doc
+        inter = (band_hi if band_hi < t_hi else t_hi) - (
+            band_lo if band_lo > t_lo else t_lo
+        )
+        bh = band_hi - band_lo
+        th = t_hi - t_lo
+        denom = bh if bh < th else th
         if denom < 1:
             denom = 1
         if inter > 0 and inter / denom >= 0.5:
