@@ -1566,6 +1566,37 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: events.props is a JSON column (the
+    universal web-pipeline shape); get_json_object pulls $.k JVM-side and
+    integer-only aggregates keep the rollup order-independent-exact."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+ORACLE_JSON_PROPS = """
+WITH t AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM t GROUP BY 1
+"""
+
+
 def q_event_histogram(spark, sf_dir):
     """Value-axis histogram — the relational analogue of the reference's
     projection-profile aggregation (SURVEY A1)."""
@@ -1640,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_text": q_eval_text,
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
+        "json_props_stats": q_json_props_stats,
         "event_histogram": q_event_histogram,
     }
 
@@ -1688,5 +1720,6 @@ def oracle_sql() -> dict[str, str]:
         "eval_text": ORACLE_EVAL_TEXT,
         "sessionize": ORACLE_SESSIONIZE,
         "windowed_counts": ORACLE_WINDOWED_COUNTS,
+        "json_props_stats": ORACLE_JSON_PROPS,
         "event_histogram": ORACLE_EVENT_HISTOGRAM,
     }
