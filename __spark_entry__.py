@@ -1152,6 +1152,7 @@ def _oracle_similarity_ivf(
     n_probe: int = 4,
     n_iter: int = similarity.IVF_TRAIN_ITERS,
     sample_mod: int = similarity.IVF_SAMPLE_MOD,
+    max_train: int = similarity.IVF_MAX_TRAIN,
 ) -> str:
     """DuckDB twin of ivf_topk: re-runs the SAME integer Lloyd training
     unrolled ``n_iter`` times in SQL.  Because quantization (floor), the
@@ -1205,8 +1206,11 @@ WITH base AS (
          list_transform(e, x -> CAST(floor(x * 1024.0 + 0.5) AS BIGINT)) AS q
   FROM base
 ), samp AS MATERIALIZED (
+  -- bounded sample: hash-ordered LIMIT keeps the driver collect O(max_train)
+  -- whatever the corpus size (mirrors similarity._collect_train_sample)
   SELECT vec_id, q FROM qv
   WHERE vec_id % {sample_mod} = 0 AND len(list_filter(q, x -> x <> 0)) > 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {max_train}
 ), c0 AS MATERIALIZED (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS s
   FROM (SELECT * FROM samp ORDER BY vec_id LIMIT {n_centroids}) _i

@@ -151,38 +151,56 @@ def _quantize(vec) -> list:
     return [int(math.floor(float(x) * 1024.0 + 0.5)) for x in vec]
 
 
+def _collect_train_sample(
+    embeddings: DataFrame, sample_mod: int, max_train: int
+) -> list:
+    """Deterministic BOUNDED training sample: rows with
+    ``vec_id % sample_mod == 0`` and a nonzero quantized vector, ordered by
+    ``(md5(vec_id), vec_id)`` (a corpus-independent pseudo-random shuffle),
+    then ``LIMIT max_train``.  The collect is O(max_train) regardless of
+    corpus size — at 10^9 vectors the driver still holds exactly
+    ``max_train`` rows (r3 verdict #1: the previous proportional
+    ``vec_id % 5`` collect was 20% of the corpus)."""
+    rows = (
+        embeddings.where(F.pmod(F.col("vec_id"), F.lit(sample_mod)) == 0)
+        .where(F.expr(f"exists({_QUANT_SQL}, x -> x != 0.0D)"))
+        .select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(max_train)
+        .collect()
+    )
+    return sorted((int(r.vec_id), _quantize(r.embedding)) for r in rows)
+
+
+IVF_MAX_TRAIN = 1024  # 64x the default n_centroids; absolute, not proportional
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
     n_iter: int = IVF_TRAIN_ITERS,
     sample_mod: int = IVF_SAMPLE_MOD,
+    max_train: int = IVF_MAX_TRAIN,
 ) -> list:
     """Lloyd-trained coarse quantizer in EXACT INTEGER arithmetic.
 
-    A deterministic sample (vec_id % sample_mod == 0, all-zero quantized
-    vectors dropped) is collected once; init centroids are the K smallest
-    vec_ids; each Lloyd round assigns samples to argmax <q, S_c>/|S_c|
-    (ties -> lowest cid) and replaces S_c with the INTEGER SUM of assigned
-    quantized vectors (empty cluster keeps its previous sum).  Centroids
-    are kept as raw sum vectors — the member count cancels out of every
-    cosine argmax — so all training arithmetic is order-independent integer
-    sums plus one final double division per score: the DuckDB oracle
-    re-runs the identical iterations in SQL and lands on bit-identical
-    centroids, scores, and rankings.
+    A deterministic BOUNDED sample (vec_id % sample_mod == 0, nonzero
+    quantized vector, hash-ordered ``LIMIT max_train`` — see
+    ``_collect_train_sample``) is collected once; init centroids are the K
+    smallest vec_ids of the sample; each Lloyd round assigns samples to
+    argmax <q, S_c>/|S_c| (ties -> lowest cid) and replaces S_c with the
+    INTEGER SUM of assigned quantized vectors (empty cluster keeps its
+    previous sum).  Centroids are kept as raw sum vectors — the member
+    count cancels out of every cosine argmax — so all training arithmetic
+    is order-independent integer sums plus one final double division per
+    score: the DuckDB oracle re-runs the identical iterations in SQL and
+    lands on bit-identical centroids, scores, and rankings.
 
-    Returns [(cid, sum_vec: list[int], norm: float)].  At 100 TB you train
-    on a larger offline sample the same way — the quantizer is always known
-    before the big scan; the scan side below stays literal-only.
+    Returns [(cid, sum_vec: list[int], norm: float)].  The driver memory
+    bound is max_train rows whatever the corpus size; raise max_train
+    (still absolute) for a finer quantizer, never a proportional fraction.
     """
-    rows = (
-        embeddings.where(F.pmod(F.col("vec_id"), F.lit(sample_mod)) == 0)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    samp = sorted(
-        (int(r.vec_id), _quantize(r.embedding)) for r in rows
-    )
-    samp = [(vid, q) for vid, q in samp if any(q)]
+    samp = _collect_train_sample(embeddings, sample_mod, max_train)
     if not samp:
         raise ValueError(
             f"no trainable sample: no rows with vec_id % {sample_mod} == 0 "
@@ -218,6 +236,7 @@ def ivf_topk(
     n_probe: int = 4,
     n_iter: int = IVF_TRAIN_ITERS,
     sample_mod: int = IVF_SAMPLE_MOD,
+    max_train: int = IVF_MAX_TRAIN,
 ) -> DataFrame:
     """IVF-flat ANN: TRAINED coarse quantizer -> inverted lists -> probe +
     exact re-rank.
@@ -242,7 +261,7 @@ def ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    cents = train_ivf_centroids(embeddings, n_centroids, n_iter, sample_mod)
+    cents = train_ivf_centroids(embeddings, n_centroids, n_iter, sample_mod, max_train)
 
     def score_sql(svec: list, nrm: float) -> str:
         # argmax score: <qe, S_c> / |S_c| — the row's own norm is constant
