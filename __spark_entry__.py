@@ -1020,22 +1020,51 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir))
 
 
-ORACLE_SIMHASH = f"""
+def q_simhash64(spark, sf_dir):
+    """64-bit SimHash — the production width (16-bit pigeonhole band keys).
+    Bit 63 lands on the BIGINT sign bit; signed two's complement agrees
+    between Spark LONG and DuckDB BIGINT, so the oracle is still bit-exact."""
+    return dedup.simhash(_docs(spark, sf_dir), bits=64).withColumnRenamed(
+        "simhash", "simhash64"
+    )
+
+
+def _oracle_simhash_hash(bits: int, alias: str = "simhash") -> str:
+    """DuckDB twin of dedup.simhash at either width.  Token bits: lo = md5
+    hex chars 1-8, hi = chars 9-16; bit 63's weight is the literal -2^63
+    (HUGEINT-summed, cast back to BIGINT — total always in signed-64 range)."""
+    bit_src = (
+        "(CASE WHEN bit < 32 THEN lo >> bit ELSE hi >> (bit - 32) END)"
+        if bits > 32
+        else "(lo >> bit)"
+    )
+    hi_col = ",\n                 CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS hi" if bits > 32 else ""
+    weight = (
+        "(CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::HUGEINT"
+        " ELSE (1::BIGINT << bit)::HUGEINT END)"
+        if bits > 32
+        else "(1::BIGINT << bit)"
+    )
+    return f"""
 WITH toks AS (
   SELECT doc_id, unnest(ts) AS tok
   FROM (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents) _t
 ), h AS (
-  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS lo{hi_col}
+  FROM toks
 ), per_bit AS (
   SELECT doc_id, bit,
-         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM h, UNNEST(generate_series(0, {dedup.SIMHASH_BITS - 1})) AS u(bit)
+         sum(CASE WHEN {bit_src} & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, UNNEST(generate_series(0, {bits - 1})) AS u(bit)
   GROUP BY 1, 2
 )
 SELECT doc_id,
-       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN {weight} ELSE 0 END) AS BIGINT) AS {alias}
 FROM per_bit GROUP BY 1
 """
+
+
+ORACLE_SIMHASH = _oracle_simhash_hash(32)
 
 
 # ---------------------------------------------------------------------------
@@ -1261,23 +1290,38 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+SIMHASH_PAIRS_BITS = 64  # production width: 16-bit band keys
+
+
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: pigeonhole banding (exact recall at the
-    hamming radius) + bit_count confirm, hot buckets capped."""
-    return dedup.simhash_pairs(_docs(spark, sf_dir))
+    """SimHash near-dup pairs at the production 64-bit width: pigeonhole
+    banding (exact recall at the hamming radius, up to the hot-bucket cap)
+    + bit_count confirm."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), bits=SIMHASH_PAIRS_BITS)
 
 
-def _oracle_simhash_pairs(max_hamming: int = 3, max_bucket: int = 1024) -> str:
+def _simhash_bands_ctes(bits: int, max_hamming: int) -> str:
+    """CTEs sh + bands0: the simhash and its pigeonhole bands.  bkey =
+    (simhash >> band_bits*b) & mask — the post-shift mask makes the key
+    independent of arithmetic-vs-logical shift semantics (matters for the
+    64-bit sign bit; both engines are arithmetic anyway)."""
     n_bands = max_hamming + 1
-    band_bits = dedup.SIMHASH_BITS // n_bands
+    band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    return f"""
-WITH sh AS MATERIALIZED ({ORACLE_SIMHASH}),
+    return f"""sh AS MATERIALIZED ({_oracle_simhash_hash(bits)}),
 bands0 AS (
   SELECT doc_id, simhash, b AS band,
-         simhash & (CAST({mask} AS BIGINT) << ({band_bits} * b)) AS bkey
+         (simhash >> ({band_bits} * b)) & {mask} AS bkey
   FROM sh, UNNEST(generate_series(0, {n_bands - 1})) AS u(b)
-), bands AS (
+)"""
+
+
+def _oracle_simhash_pairs(
+    max_hamming: int = 3, bits: int = SIMHASH_PAIRS_BITS, max_bucket: int = 1024
+) -> str:
+    return f"""
+WITH {_simhash_bands_ctes(bits, max_hamming)},
+bands AS (
   SELECT doc_id, simhash, band, bkey FROM (
     SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands0
   ) _c WHERE bsz <= {max_bucket}
@@ -1289,6 +1333,31 @@ bands0 AS (
 )
 SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+"""
+
+
+def q_simhash_bucket_stats(spark, sf_dir):
+    """Band-bucket accounting for simhash_pairs' hot-bucket cap (the
+    lsh_bucket_stats twin) — capped coverage is driver-visible, not silent."""
+    return dedup.simhash_bucket_stats(_docs(spark, sf_dir), bits=SIMHASH_PAIRS_BITS)
+
+
+def _oracle_simhash_bucket_stats(
+    max_hamming: int = 3,
+    bits: int = SIMHASH_PAIRS_BITS,
+    max_bucket: int = dedup.SIMHASH_MAX_BUCKET,
+) -> str:
+    return f"""
+WITH {_simhash_bands_ctes(bits, max_hamming)},
+per_bucket AS (
+  SELECT band, bkey, count(*) AS bsz FROM bands0 GROUP BY 1, 2
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(bsz) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN bsz > {max_bucket} THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+       CAST(sum(CASE WHEN bsz > {max_bucket} THEN bsz ELSE 0 END) AS BIGINT) AS n_docs_in_hot
+FROM per_bucket GROUP BY band
 """
 
 
@@ -1664,7 +1733,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "simhash64": q_simhash64,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_bucket_stats": q_simhash_bucket_stats,
         "dedup_embedding": q_dedup_embedding,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
@@ -1713,7 +1784,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_stats": ORACLE_LSH_BUCKET_STATS,
         "dedup_clusters": _oracle_dedup_clusters(),
         "simhash": ORACLE_SIMHASH,
+        "simhash64": _oracle_simhash_hash(64, "simhash64"),
         "simhash_pairs": _oracle_simhash_pairs(),
+        "simhash_bucket_stats": _oracle_simhash_bucket_stats(),
         "dedup_embedding": _oracle_dedup_embedding(),
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "similarity_lsh": ORACLE_SIMILARITY_LSH,

@@ -294,29 +294,98 @@ def dedup_clusters(documents: DataFrame, checkpoint_dir: str | None = None) -> D
 
 
 def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """32-bit SimHash over tokens (counted, not distinct).
+    """SimHash over tokens (counted, not distinct), 32- or 64-bit.
 
     One token explode and ONE groupBy(doc_id) computing all ``bits``
     sign-sums as conditional-sum aggregates — no bits-x row multiplication;
     map-side partial aggregation ships ``bits`` longs per doc across the
     shuffle.  Packing the sums into the hash is a plain column expression.
     Exactly SQL-expressible (same DuckDB oracle).
+
+    Token bits come from md5: ``lo`` = first 8 hex chars, ``hi`` = chars
+    9-16 — so the 64-bit hash's low 32 bit-sums equal the 32-bit variant's.
+    Bit 63 of the packed hash is the BIGINT sign bit: its weight is the
+    literal ``-2^63`` (signed two's complement, identical in Spark LONG and
+    DuckDB BIGINT), which keeps every intermediate sum in signed-64 range.
     """
+    if bits not in (32, 64):
+        raise ValueError(f"simhash bits must be 32 or 64, got {bits}")
     toks = documents.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-    hashed = toks.select("doc_id", h.alias("h"))
+    md5c = F.md5(F.col("tok"))
+    cols = [F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long").alias("lo")]
+    if bits > 32:
+        cols.append(F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long").alias("hi"))
+    hashed = toks.select("doc_id", *cols)
+
+    def bit(b: int) -> str:
+        return f"(lo >> {b}) & 1" if b < 32 else f"(hi >> {b - 32}) & 1"
+
     sums = hashed.groupBy("doc_id").agg(
         *[
-            F.expr(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)").alias(f"s{b}")
+            F.expr(f"sum(CASE WHEN {bit(b)} = 1 THEN 1 ELSE -1 END)").alias(f"s{b}")
             for b in range(bits)
         ]
     )
-    packed = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(bits))
-    return sums.select("doc_id", F.expr(packed).alias("simhash"))
+    terms = [
+        f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(min(bits, 63))
+    ]
+    if bits == 64:
+        terms.append("(CASE WHEN s63 > 0 THEN (-9223372036854775807L - 1L) ELSE 0L END)")
+    return sums.select("doc_id", F.expr(" + ".join(terms)).alias("simhash"))
 
 
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_MAX_BUCKET = 1024
+
+
+def simhash_bands(
+    documents: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_id, simhash, band, bkey) — pigeonhole bands of the simhash.
+
+    ``max_hamming + 1`` bands of ``bits // (max_hamming + 1)`` bits each;
+    bkey = (simhash >> band_bits*b) & mask.  The mask after the shift makes
+    the key identical under arithmetic or logical shift semantics, so the
+    sign bit of a 64-bit hash needs no special-casing in either engine.
+    """
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sh = simhash(documents, bits)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), band_bits * b).bitwiseAND(F.lit(mask)).alias("bkey"),
+        )
+        for b in range(n_bands)
+    ]
+    return sh.select(
+        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
+def simhash_bucket_stats(
+    documents: DataFrame,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Per-band bucket accounting for the simhash pigeonhole bands — the
+    ``lsh_bucket_stats`` twin (r3 verdict #3): what ``simhash_pairs``'
+    hot-bucket cap drops must be driver-visible, never silent.
+    (band, n_buckets, n_docs, n_hot_buckets, n_docs_in_hot)."""
+    bands = simhash_bands(documents, max_hamming, bits)
+    per_bucket = bands.groupBy("band", "bkey").agg(F.count("*").alias("bsz"))
+    return per_bucket.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("bsz").alias("n_docs"),
+        F.sum(F.when(F.col("bsz") > max_bucket, 1).otherwise(0)).alias("n_hot_buckets"),
+        F.sum(F.when(F.col("bsz") > max_bucket, F.col("bsz")).otherwise(0)).alias(
+            "n_docs_in_hot"
+        ),
+    )
 
 
 def simhash_pairs(
@@ -330,30 +399,22 @@ def simhash_pairs(
     Pigeonhole banding: split the hash into ``max_hamming + 1`` bands — two
     hashes within ``max_hamming`` bits MUST agree exactly on at least one
     band, so candidates = same (band, key) pairs, confirmed by
-    ``bit_count(xor)``.  Recall is exact (no LSH probability argument),
-    cost is the banded join.
+    ``bit_count(xor)``.  Recall is exact UP TO the hot-bucket cap (the only
+    probabilistic-free claim this operator makes): buckets above
+    ``max_bucket`` are skipped per band under the same no-silent-caps
+    contract as ``minhash_lsh_pairs`` — report ``simhash_bucket_stats``
+    alongside so the drop is visible.
 
-    Scale note: band keys carry bits/(h+1) bits — 8 here, which crowds at
-    corpus scale, so buckets above ``max_bucket`` are skipped per band
-    (same no-silent-caps contract as minhash_lsh_pairs; production should
-    run a 64-bit simhash => 16-bit bands, the standard configuration —
-    this 32-bit variant keeps the cross-engine bit-exact oracle).
+    Scale note: band keys carry ``bits / (max_hamming + 1)`` bits.  The
+    production configuration is ``bits=64`` => 16-bit band keys (65,536
+    buckets per band); the 32-bit variant's 8-bit keys crowd at corpus
+    scale and survive only as the compact twin.  Both widths are bit-exact
+    against the DuckDB oracle (signed-BIGINT xor / bit_count / shift
+    agree across engines).
     """
     from pyspark.sql.window import Window
 
-    n_bands = max_hamming + 1
-    band_bits = bits // n_bands
-    sh = simhash(documents, bits)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            ((F.col("simhash").bitwiseAND(((1 << band_bits) - 1) << (band_bits * b)))).alias("bkey"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = sh.select(
-        "doc_id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    bands = simhash_bands(documents, max_hamming, bits)
     bands = (
         bands.withColumn("_bsz", F.count("*").over(Window.partitionBy("band", "bkey")))
         .where(F.col("_bsz") <= max_bucket)

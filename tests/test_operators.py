@@ -191,6 +191,40 @@ def test_simhash_identical_equal_and_bounded(spark):
     assert rows[1] != rows[3]
 
 
+def test_simhash64_exact_recall_vs_brute_force(spark):
+    """64-bit pigeonhole banding (4 x 16-bit bands) must return EXACTLY the
+    pairs within the hamming radius — cross-checked against a brute-force
+    all-pairs bit_count on the real sf0.001 docs (no hot bucket reaches the
+    cap at this scale, so recall is exact, not 'exact up to the cap')."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=64).collect()}
+    want = {
+        (a, b): bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+        for a in sh
+        for b in sh
+        if a < b and bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(docs, bits=64).collect()
+    }
+    assert got == want
+    # 64-bit hashes actually use the top word (sign bit reachable)
+    assert any(v < 0 or v >= 2**32 for v in sh.values())
+
+
+def test_simhash_bucket_stats_accounts_for_all_docs(spark):
+    """Stats twin invariant: per band, n_docs == corpus size (every doc is
+    in exactly one bucket per band) and hot-doc count is consistent."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    rows = dedup.simhash_bucket_stats(docs, bits=64, max_bucket=4).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.n_docs == n
+        assert 0 <= r.n_docs_in_hot <= n and r.n_hot_buckets <= r.n_buckets
+
+
 def test_brute_force_topk_math(spark):
     # query 0 with unit vectors at known angles
     emb = spark.createDataFrame(
