@@ -468,6 +468,59 @@ _TOKS_SQL = (
 )
 
 
+def _warc_fixture_dir(spark, sf_dir: str) -> str:
+    """Synthesize (once per sf, idempotent via the _COMPLETE marker) a
+    gzip-member-per-record WARC corpus from ``documents`` — 8 segments,
+    request records interleaved, bodies = utf-8 text behind an HTTP header
+    block.  Driver-side generation is bounded fixture scaffolding; the
+    operator under test (read_warc) is the scale path."""
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    d = f"/tmp/ocrx_warc_fixture_{tag}"
+    if not os.path.exists(os.path.join(d, "_COMPLETE")):
+        from ocr_table_extractor_to_csv_spark.sources.warc import write_warc_segments
+
+        rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+        write_warc_segments(
+            (
+                (
+                    r.doc_id,
+                    f"https://docs.example/{r.doc_id}",
+                    "2025-01-01T00:00:00Z",
+                    r.text.encode("utf-8"),
+                )
+                for r in sorted(rows, key=lambda r: r.doc_id)
+            ),
+            d,
+        )
+    return d
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source end to end: raw gzip-member segments -> record splitter
+    (length framing, header strip, non-response skip) -> (url, body) —
+    oracle-checked at the value level against the documents the segments
+    were synthesized from (r3 verdict #4: the newest parser gets the same
+    evidence class as every other surface)."""
+    from ocr_table_extractor_to_csv_spark.sources.warc import read_warc
+
+    pages = read_warc(spark, _warc_fixture_dir(spark, sf_dir))
+    return pages.where(F.col("error").isNull()).select(
+        "url",
+        F.md5(F.col("html")).alias("html_md5"),
+        F.length(F.col("html")).cast("long").alias("n_bytes"),
+    )
+
+
+ORACLE_WARC_ROUNDTRIP = """
+SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+       md5(text) AS html_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 def q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
@@ -1476,6 +1529,54 @@ def q_media_frames(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """Resize stage plumbing end to end: mapInArrow batch shape, per-row
+    error capture, and the deterministic stub resampler (floor-sqrt square
+    grid, nearest-neighbor subsample).  Output pixel bytes are a pure
+    function of the payload, so the oracle rebuilds them byte-for-byte in
+    SQL (compared as md5 of the lowercase hex — DuckDB md5 is VARCHAR-only)."""
+    from ocr_table_extractor_to_csv_spark.operators.multimodal import resize_media
+
+    rs = resize_media(_media(spark, sf_dir))
+    return rs.where(F.col("error").isNull()).select(
+        "media_id",
+        "src_w",
+        "src_h",
+        "dst_w",
+        "dst_h",
+        F.md5(F.lower(F.hex(F.col("pixels")))).alias("pixels_md5"),
+        F.length(F.col("pixels")).cast("long").alias("n_pixels"),
+    )
+
+
+def _oracle_media_resize(dst_w: int = 32, dst_h: int = 32) -> str:
+    """The stub resampler in SQL: side = floor(sqrt(n_bytes)); output byte
+    (r, c) = payload[((r*side)//dst_h)*side + ((c*side)//dst_w)], built by
+    2-char substrings over the payload's hex."""
+    idx = f"(((r * side) // {dst_h}) * side + ((c * side) // {dst_w}))"
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, lower(hex(encode(text))) AS h,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE octet_length(encode(text)) > 0
+), s AS (
+  SELECT media_id, h, CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) AS side FROM m
+), px AS (
+  SELECT media_id, side,
+         array_to_string(flatten(
+           list_transform(generate_series(0, {dst_h - 1}), r ->
+             list_transform(generate_series(0, {dst_w - 1}), c ->
+               substr(h, CAST(2 * {idx} + 1 AS BIGINT), 2)))), '') AS ohex
+  FROM s
+)
+SELECT media_id, CAST(side AS INT) AS src_w, CAST(side AS INT) AS src_h,
+       {dst_w} AS dst_w, {dst_h} AS dst_h,
+       md5(ohex) AS pixels_md5,
+       CAST({dst_w} * {dst_h} AS BIGINT) AS n_pixels
+FROM px
+"""
+
+
 ORACLE_MEDIA_FRAMES = """
 WITH m AS (
   SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
@@ -1712,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_mixed_dispatch": q_extract_mixed_dispatch,
         "extract_args_dispatch": q_extract_args_dispatch,
         "extract_transformers": q_extract_transformers,
+        "warc_roundtrip": q_warc_roundtrip,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
@@ -1742,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
         "eval_numeric": q_eval_numeric,
         "eval_text": q_eval_text,
         "sessionize": q_sessionize,
@@ -1763,6 +1866,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_mixed_dispatch": _oracle_mixed_dispatch(),
         "extract_args_dispatch": ORACLE_ARGS_DISPATCH,
         "extract_transformers": ORACLE_GRID4,
+        "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,
         "token_count": ORACLE_TOKEN_COUNT,
         "token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
         "text_quality": ORACLE_TEXT_QUALITY,
@@ -1793,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": _oracle_similarity_ivf(),
         "media_features": _oracle_media_features(),
         "media_frames": ORACLE_MEDIA_FRAMES,
+        "media_resize": _oracle_media_resize(),
         "eval_numeric": ORACLE_EVAL_NUMERIC,
         "eval_text": ORACLE_EVAL_TEXT,
         "sessionize": ORACLE_SESSIONIZE,

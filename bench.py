@@ -183,15 +183,21 @@ def run_default(args):
         "value": total,
         "unit": "sec",
         "queries": queries,
-        "query_trials": trial_arrays,
         "methodology": f"{args.warm} warm pass(es) then median of {args.trials} trials per query",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pages_per_sec": ext["pages_per_sec"],
         "tables_per_sec": ext["tables_per_sec"],
         "bench_pages": ext["n_pages"],
         "cpus": args.cpus,
+        "full_report": "bench_out/report.json",
     }
     spark.stop()
+    # full report (incl. per-query trial arrays) goes to a FILE — printing
+    # it inline made the one-line stdout contract so long the driver's tail
+    # capture truncated it (r3 BENCH parsed:null); stdout stays compact
+    os.makedirs("bench_out", exist_ok=True)
+    with open("bench_out/report.json", "w") as f:
+        json.dump({**out, "query_trials": trial_arrays}, f, indent=1)
     print(json.dumps(out))
 
 

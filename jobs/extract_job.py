@@ -131,10 +131,19 @@ def main() -> None:
     if args.warc:
         from ocr_table_extractor_to_csv_spark.sources.warc import read_warc
 
-        raw = read_warc(spark, args.warc)
-        n_bad = raw.where(F.col("error").isNotNull()).count()
+        # persist the parsed frame: the error pre-count is an eager action,
+        # and without the cache every WARC segment would be read,
+        # decompressed, and record-parsed TWICE (once for the count, once
+        # for extraction) — doubling ingest I/O at Common-Crawl scale
+        raw = read_warc(spark, args.warc).persist()
+        bad = raw.where(F.col("error").isNotNull())
+        n_bad = bad.count()
         if n_bad:
             print(f"warc: {n_bad} unreadable segment(s) skipped")
+            # never a silent drop: the skipped segments are durably recorded
+            bad.select("url", "error").write.mode("append").parquet(
+                f"{args.out.rstrip('/')}_warc_errors"
+            )
         pages = raw.where(F.col("error").isNull())
     else:
         pages = spark.read.parquet(args.pages)
@@ -157,6 +166,8 @@ def main() -> None:
         giant_threshold=args.giant_threshold,
         manifests=args.manifests,
     )
+    if args.warc:
+        raw.unpersist()
 
     stats = committed.agg(
         F.count("*").alias("n"),

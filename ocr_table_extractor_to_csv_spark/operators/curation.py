@@ -93,12 +93,16 @@ def curate_neardup(
 DECONTAMINATE_THRESHOLD = 0.5
 
 
+DECONTAMINATE_MAX_BROADCAST_SHINGLES = 5_000_000  # ~a few hundred MB of keys
+
+
 def decontaminate(
     documents: DataFrame,
     eval_set: DataFrame | None = None,
     eval_mod: int = 97,
     n: int = 3,
     threshold: float = DECONTAMINATE_THRESHOLD,
+    max_broadcast_shingles: int = DECONTAMINATE_MAX_BROADCAST_SHINGLES,
 ) -> DataFrame:
     """Benchmark decontamination: per-document n-gram overlap against an
     evaluation set — (doc_id, n_shingles, n_overlap, overlap_ratio,
@@ -107,16 +111,35 @@ def decontaminate(
     ``eval_set`` defaults to the deterministic ``doc_id % eval_mod == 0``
     slice of the corpus (a stand-in benchmark; pass the real eval table in
     production).  Scale shape: the corpus side is the linear shingle
-    explode; the eval side collapses to DISTINCT shingles and BROADCASTS —
-    benchmark suites are KBs-to-MBs against a 100 TB corpus, so the overlap
-    join never shuffles the corpus, and per-doc counts partial-aggregate
-    map-side."""
+    explode; the eval side collapses to DISTINCT shingles and (normally)
+    BROADCASTS — benchmark suites are KBs-to-MBs against a 100 TB corpus,
+    so the overlap join never shuffles the corpus, and per-doc counts
+    partial-aggregate map-side.
+
+    Broadcast guard (r3 verdict #7): the distinct eval shingles are COUNTED
+    first (one action on the small side); above ``max_broadcast_shingles``
+    the broadcast hint would OOM the driver/executors — the join explicitly
+    falls back to a shuffle hash join (still keyed on shingle; the corpus
+    pays one shuffle, correctness identical) and the chosen strategy is
+    logged and exposed as ``decontaminate.last_strategy`` instead of AQE
+    silently flipping plans."""
     from .dedup import shingles
 
     if eval_set is None:
         eval_set = documents.where(F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0)
     doc_sh = shingles(documents, n)
-    eval_sh = F.broadcast(shingles(eval_set, n).select("shingle").distinct())
+    eval_distinct = shingles(eval_set, n).select("shingle").distinct()
+    n_eval = eval_distinct.count()
+    if n_eval <= max_broadcast_shingles:
+        decontaminate.last_strategy = "broadcast"
+        eval_sh = F.broadcast(eval_distinct)
+    else:
+        decontaminate.last_strategy = "shuffle"
+        print(
+            f"decontaminate: eval side has {n_eval} distinct shingles "
+            f"(> {max_broadcast_shingles}); using shuffle hash join, not broadcast"
+        )
+        eval_sh = eval_distinct.hint("shuffle_hash")
     overlap = (
         doc_sh.join(eval_sh, "shingle")
         .groupBy("doc_id")

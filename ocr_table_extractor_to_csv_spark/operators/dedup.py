@@ -230,15 +230,44 @@ def connected_components(
     ``localCheckpoint`` (executor-block storage): fine for local runs, but
     lineage is truncated with no durable copy, so an executor loss at
     cluster scale is fatal — always set checkpoint_dir there.
+
+    Checkpoint hygiene: Spark never deletes reliable checkpoint files, so a
+    naive loop leaks up to ``max_iter`` full copies of the label table per
+    run.  Each call therefore checkpoints into its own ``cc-<uuid>``
+    subdirectory, writes the CONVERGED labels to ``final.parquet`` there,
+    deletes every iteration checkpoint (Hadoop FS API — works on HDFS/S3/
+    local alike), and returns a frame backed by the parquet — the run
+    leaves exactly one small durable artifact, which the caller may delete
+    after consuming.  (``setCheckpointDir`` is SparkContext-global: two
+    concurrent CC runs on one context would interleave dirs — run them
+    sequentially, as the jobs layer does.)
     """
+    import uuid
+
+    spark = nodes.sparkSession
+    run_dir: str | None = None
 
     def _materialize(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint()
 
+    def _finalize(result: DataFrame) -> DataFrame:
+        if run_dir is None:
+            return result
+        final = f"{run_dir}/final.parquet"
+        result.write.mode("overwrite").parquet(final)
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(run_dir)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        for st in fs.listStatus(p):
+            if st.getPath().getName() != "final.parquet":
+                fs.delete(st.getPath(), True)
+        return spark.read.parquet(final)
+
     if checkpoint_dir is not None:
-        nodes.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        run_dir = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
+        spark.sparkContext.setCheckpointDir(run_dir)
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -278,7 +307,9 @@ def connected_components(
         labels = stepped.select("node", "label")
         if changed == 0:
             connected_components.last_iters = it + 1
-            return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+            return _finalize(
+                labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+            )
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 

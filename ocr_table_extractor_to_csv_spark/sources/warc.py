@@ -154,6 +154,48 @@ def read_warc(spark, path: str) -> DataFrame:
     return files.mapInArrow(warc_batches_fn, WARC_PAGES_SCHEMA)
 
 
+def write_warc_segments(
+    records,
+    out_dir: str,
+    n_segments: int = 8,
+    gzip_members: bool = True,
+    interleave_requests: bool = True,
+) -> int:
+    """Deterministic WARC corpus synthesizer (fixture/sink helper).
+
+    ``records``: iterable of (seg_key: int, url, ts, body: bytes).  Records
+    are grouped into ``seg_key % n_segments`` segment files, each record its
+    own gzip member when ``gzip_members`` (the Common Crawl layout);
+    ``interleave_requests`` adds a WARC request record before each response
+    so readers must skip non-response types.  Writes ``seg-K.warc(.gz)``
+    files plus a ``_COMPLETE`` marker; returns the record count.
+
+    This is driver-side fixture generation (bounded, test-scale) — a real
+    100 TB corpus arrives as WARC already; the scale path is read_warc.
+    """
+    import os
+
+    segs: dict = {}
+    n = 0
+    for seg_key, url, ts, body in records:
+        rec = b""
+        if interleave_requests:
+            rec += warc_record(f"{url}#req", ts, b"GET / HTTP/1.1", warc_type="request")
+        rec += warc_record(url, ts, body)
+        if gzip_members:
+            rec = gzip.compress(rec)
+        segs.setdefault(int(seg_key) % n_segments, []).append(rec)
+        n += 1
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "warc.gz" if gzip_members else "warc"
+    for k, recs in segs.items():
+        with open(os.path.join(out_dir, f"seg-{k:05d}.{ext}"), "wb") as f:
+            f.write(b"".join(recs))
+    with open(os.path.join(out_dir, "_COMPLETE"), "w") as f:
+        f.write(str(n))
+    return n
+
+
 def warc_record(url: str, ts: str, body: bytes, warc_type: str = "response") -> bytes:
     """One WARC/1.0 response record with an HTTP header block (test/sink
     helper; the byte layout is the one parse_warc_records consumes)."""

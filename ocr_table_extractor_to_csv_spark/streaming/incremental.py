@@ -86,12 +86,22 @@ def incremental_extract_warc(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        pages = batch_df.mapInArrow(warc_batches_fn, WARC_PAGES_SCHEMA).where(
-            F.col("error").isNull()
-        )
+        parsed = batch_df.mapInArrow(warc_batches_fn, WARC_PAGES_SCHEMA).persist()
+        # no-silent-drop contract: with the exactly-once checkpoint a corrupt
+        # segment is permanently consumed, so its error row must be durably
+        # recorded (errors parquet next to out_dir) — not just filtered away
+        bad = parsed.where(F.col("error").isNotNull())
+        n_bad = bad.count()
+        if n_bad:
+            print(f"warc stream batch {batch_id}: {n_bad} unreadable segment(s)")
+            bad.select("url", "error").withColumn(
+                "stream_batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(f"{out_dir.rstrip('/')}_warc_errors")
+        pages = parsed.where(F.col("error").isNull())
         extract_pages(pages.select("url", "html"), layout=layout).withColumn(
             "stream_batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(out_dir)
+        parsed.unpersist()
 
     query = (
         stream.writeStream.foreachBatch(sink)

@@ -151,7 +151,12 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     written = [
         os.path.join(dp, f) for dp, _dn, fn in os.walk(ckpt) for f in fn
     ]
-    assert written, "no reliable checkpoint files were written"
+    assert written, "no durable artifact was written"
+    # checkpoint hygiene (r3 advice): every per-iteration rdd checkpoint is
+    # deleted after convergence — only the final labels parquet survives
+    assert all("final.parquet" in p for p in written), written
+    leaked = [p for p in written if "/rdd-" in p]
+    assert not leaked, f"leaked iteration checkpoints: {leaked}"
 
 
 def test_dedup_clusters_keeper_semantics(spark):
@@ -611,6 +616,32 @@ def test_decontaminate_eval_overlap(spark):
     assert rows[1].n_shingles == 2 and rows[1].n_overlap == 1
     assert rows[1].overlap_ratio == 0.5 and rows[1].contaminated  # >= threshold
     assert rows[2].n_overlap == 0 and not rows[2].contaminated
+
+
+def test_decontaminate_oversized_eval_falls_back_to_shuffle(spark):
+    """r3 verdict #7: above max_broadcast_shingles the eval side must NOT
+    be broadcast-hinted (driver/executor OOM at real eval-suite overflow) —
+    the operator explicitly picks a shuffle hash join, says so, and the
+    results are identical to the broadcast path."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma epsilon"),
+            (2, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    want = {tuple(r) for r in decontaminate(docs).collect()}
+    assert decontaminate.last_strategy == "broadcast"
+
+    small = decontaminate(docs, max_broadcast_shingles=1)
+    assert decontaminate.last_strategy == "shuffle"
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = small._jdf.queryExecution().explainString(mode)
+    assert "BroadcastHashJoin" not in plan
+    assert {tuple(r) for r in small.collect()} == want
 
 
 def test_sample_stratified_deterministic_and_bounded(spark):

@@ -121,6 +121,15 @@ def test_warc_streaming_incremental_exactly_once(spark, tmp_path):
     incremental_extract_warc(spark, str(d), out, ckpt, layout="generic")
     assert spark.read.parquet(out).count() == 2
 
+    # a corrupt segment is consumed exactly-once by the checkpoint, so it
+    # must leave a durable error row — never a silent drop
+    (d / "seg3.warc").write_bytes(b"NOT A WARC FILE")
+    incremental_extract_warc(spark, str(d), out, ckpt, layout="generic")
+    assert spark.read.parquet(out).count() == 2
+    errs = spark.read.parquet(out + "_warc_errors").collect()
+    assert len(errs) == 1 and errs[0].url.endswith("seg3.warc")
+    assert errs[0].error and errs[0].stream_batch_id is not None
+
 
 def test_warc_through_extract_job_resume_path(spark, tmp_path):
     """Raw segments through the FULL batch job (resume anti-join, giants
