@@ -916,6 +916,53 @@ WHERE q.quality_score >= {min_q} AND lang.lang_pred IN ({langs})
 """.replace("{cc_oracle}", _oracle_dedup_clusters())
 
 
+def q_pipeline_full(spark, sf_dir):
+    """End-to-end composed curation: lang+quality gates AND not-contaminated
+    AND near-dup-cluster keeper, survivors packed into token bins — the
+    full pipeline a pretraining corpus run ships, built from the standalone
+    operators over ONE cached corpus scan (plan-pinned; r3 verdict #8)."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import curate_pipeline
+
+    return curate_pipeline(_docs(spark, sf_dir))
+
+
+def _oracle_pipeline_full(budget: int = 2048, n_shards: int = 16) -> str:
+    from ocr_table_extractor_to_csv_spark.operators import curation
+
+    min_q = curation.DEFAULT_MIN_QUALITY
+    langs = ", ".join(f"'{l}'" for l in curation.DEFAULT_LANGS)
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS ts FROM documents),
+q AS (
+  SELECT doc_id,
+         CAST(len(ts) AS INT) AS n_tokens,
+         round(least(1.0, CAST(len(ts) AS DOUBLE) / 50.0)
+               - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(1, length(text)), 5) AS quality_score
+  FROM t
+), lang AS ({_oracle_lang_id()}),
+deco AS MATERIALIZED ({_oracle_decontaminate()}),
+cc AS MATERIALIZED ({_oracle_dedup_clusters()}),
+surv AS (
+  SELECT q.doc_id, q.n_tokens, q.quality_score, lang.lang_pred,
+         CAST(q.doc_id % {n_shards} AS INT) AS shard
+  FROM q
+  JOIN lang ON lang.doc_id = q.doc_id
+  JOIN deco ON deco.doc_id = q.doc_id AND NOT deco.contaminated
+  JOIN cc ON cc.doc_id = q.doc_id AND cc.is_keeper
+  WHERE q.quality_score >= {min_q} AND lang.lang_pred IN ({langs})
+), c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM surv
+)
+SELECT doc_id, n_tokens, quality_score, lang_pred, shard,
+       CAST((cum - n_tokens) // {budget} AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) % {budget} AS INT) AS offset_in_bin
+FROM c
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -1829,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "curate": q_curate,
         "curate_neardup": q_curate_neardup,
+        "pipeline_full": q_pipeline_full,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1882,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "curate": _oracle_curate(),
         "curate_neardup": _oracle_curate_neardup(),
+        "pipeline_full": _oracle_pipeline_full(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_lsh": ORACLE_MINHASH_LSH,

@@ -43,11 +43,16 @@ def run_curate(
         DEFAULT_MIN_QUALITY,
         curate,
         curate_neardup,
+        curate_pipeline,
     )
 
     mq = DEFAULT_MIN_QUALITY if min_quality is None else min_quality
     ls = tuple(langs) if langs else DEFAULT_LANGS
-    if neardup:
+    if neardup == "pipeline":
+        kept = curate_pipeline(
+            documents, min_quality=mq, langs=ls, checkpoint_dir=checkpoint_dir
+        )
+    elif neardup:
         kept = curate_neardup(
             documents, min_quality=mq, langs=ls, checkpoint_dir=checkpoint_dir
         )
@@ -67,6 +72,9 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--neardup", action="store_true",
                     help="elect keepers per MinHash-LSH cluster (default: exact-dup)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="full composed pipeline: gates + decontaminate + "
+                    "near-dup keepers + sequence packing (one cached corpus scan)")
     ap.add_argument("--min-quality", type=float, default=None)
     ap.add_argument("--lang", action="append", default=None)
     ap.add_argument("--checkpoint-dir", default=None,
@@ -83,7 +91,7 @@ def main() -> None:
         spark,
         docs,
         out=args.out,
-        neardup=args.neardup,
+        neardup="pipeline" if args.pipeline else args.neardup,
         min_quality=args.min_quality,
         langs=args.lang,
         checkpoint_dir=args.checkpoint_dir,
@@ -97,7 +105,7 @@ def main() -> None:
         "n_kept": stats.n_kept,
         "kept_tokens": int(stats.kept_tokens or 0),
         "keep_rate": round(stats.n_kept / max(1, n_in), 4),
-        "mode": "neardup" if args.neardup else "exact",
+        "mode": "pipeline" if args.pipeline else ("neardup" if args.neardup else "exact"),
         "out": args.out,
     }))
     spark.stop()

@@ -235,3 +235,83 @@ def sample_stratified(
         .where(F.col("u") < F.col("_r"))
         .select("doc_id", "stratum", F.round("u", 6).alias("u"))
     )
+
+
+def curate_pipeline(
+    documents: DataFrame,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+    langs=DEFAULT_LANGS,
+    eval_mod: int = 97,
+    n: int = 3,
+    threshold: float = DECONTAMINATE_THRESHOLD,
+    budget: int = 2048,
+    n_shards: int = 16,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The END-TO-END curation decision, composed from the standalone
+    operators with NO recomputation of the corpus scan: a document lands in
+    the packed output iff it
+
+      1. passes the lang + quality gates (``curate`` scoring spec),
+      2. is NOT benchmark-contaminated (``decontaminate``), and
+      3. is its MinHash-LSH near-dup cluster's keeper (``dedup_clusters``),
+
+    and the survivors are then ``pack_sequences``-packed into token bins
+    (shard = doc_id % n_shards over SURVIVORS, contiguous fill in doc_id
+    order, reusing the already-computed n_tokens — no re-tokenization).
+
+    Returns (doc_id, n_tokens, quality_score, lang_pred, shard, bin_id,
+    offset_in_bin).
+
+    Composition shape (the part that matters at 100 TB): the pruned
+    (doc_id, text) projection is ``.persist()``-ed and every branch —
+    scoring, corpus/eval shingles, MinHash signatures, CC node list —
+    derives from it, so the parquet source is scanned ONCE into cache
+    instead of once per branch (plan-pinned in tests).  Spark's cache
+    manager keys on the canonicalized plan, so repeated pipeline runs in
+    one session share the entry rather than piling up copies.  The
+    downstream joins are all equi-joins on doc_id over already-reduced
+    sides; filters run before every join (only gate-survivors shuffle).
+    """
+    from .dedup import dedup_clusters
+
+    base = documents.select("doc_id", "text").persist()
+
+    q = quality_columns(F.col("text"))
+    scored = base.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["quality_score"].alias("quality_score"),
+        lang_pred_col(F.col("text")).alias("lang_pred"),
+    ).where(
+        (F.col("quality_score") >= F.lit(min_quality))
+        & F.col("lang_pred").isin(list(langs))
+    )
+
+    clean = (
+        decontaminate(base, eval_mod=eval_mod, n=n, threshold=threshold)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    keepers = (
+        dedup_clusters(base, checkpoint_dir=checkpoint_dir)
+        .where(F.col("is_keeper"))
+        .select("doc_id")
+    )
+    survivors = scored.join(clean, "doc_id").join(keepers, "doc_id")
+
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard")
+    cum = F.sum("n_tokens").over(w)
+    return (
+        survivors.select("doc_id", "n_tokens", "quality_score", "lang_pred", shard)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            "lang_pred",
+            "shard",
+            F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("bin_id"),
+            F.pmod(cum - F.col("n_tokens"), F.lit(budget)).cast("int").alias("offset_in_bin"),
+        )
+    )

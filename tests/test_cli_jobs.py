@@ -47,6 +47,15 @@ def test_curate_job_exact_and_neardup(tmp_path, spark):
     stats = spark.read.parquet(f"{out2}/bucket_stats")
     assert stats.count() > 0 and "n_docs_in_hot" in stats.columns
 
+    out3 = str(tmp_path / "pipe")
+    kept3 = run_curate(spark, docs, out=out3, neardup="pipeline", checkpoint_dir=ckpt)
+    from ocr_table_extractor_to_csv_spark.operators.curation import curate_pipeline
+
+    assert {tuple(r) for r in kept3.collect()} == {
+        tuple(r) for r in curate_pipeline(docs).collect()
+    }
+    assert "bin_id" in kept3.columns and "offset_in_bin" in kept3.columns
+
 
 def test_run_doc_cli_transformer_max_cols(tmp_path):
     """--transformer-max-cols (run.py parity, ADVICE r2): the transformers

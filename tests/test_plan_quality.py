@@ -155,6 +155,23 @@ def test_args_dispatch_single_documents_scan(spark):
     assert n == 1, f"documents scanned {n} times"
 
 
+def test_pipeline_full_single_cached_corpus_scan(spark):
+    """The composed pipeline (scoring + decontaminate + keeper election +
+    packing) must reuse ONE cached (doc_id, text) projection: the final
+    plan reads the corpus exclusively through InMemoryTableScan — zero
+    direct parquet scans of documents (r3 verdict #8: operators compose
+    without recomputation)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["pipeline_full"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(spark, df)
+    doc_scans = [
+        l for l in plan.splitlines() if "Scan parquet" in l and "documents" in l
+    ]
+    assert not doc_scans, f"documents rescanned: {doc_scans}"
+    assert "InMemoryTableScan" in plan
+
+
 def test_decontaminate_broadcasts_eval_side(spark):
     """The eval-set side of the overlap join must BROADCAST (benchmark
     suites are tiny vs a 100 TB corpus — a shuffle join here would shuffle
