@@ -59,7 +59,7 @@ class ExtractResult:
 def _hocr_main_text(tok: TokenArrays, lines: List[Line]) -> str:
     """Engine spec: one physical line per detected line, tokens space-joined
     in x order (deterministic; the reference emits no main text)."""
-    return "\n".join(" ".join(tok.text[i] for i in ln.idx) for ln in lines)
+    return "\n".join(" ".join(tok.text[ln.idx].tolist()) for ln in lines)
 
 
 def extract_document(

@@ -185,24 +185,29 @@ def merge_spans(
     if n == 0:
         return []
     order = np.argsort(x1, kind="stable")
-    xs1 = x1[order]
-    xs2 = x2[order]
+    # list-ified once: the loop is over tokens-in-line (tiny), where python
+    # list indexing beats per-element numpy scalar extraction ~3x
+    xs1l = x1[order].tolist()
+    xs2l = x2[order].tolist()
+    textl = text[order].tolist()
     # running-max right edge per session: sequential by construction, but the
     # loop is over tokens-in-line (tiny); vectorizing would change semantics
     # only when sessions reset the running max — keep exact.
     spans: List[Tuple[int, int, str]] = []
-    s_x1 = int(xs1[0])
-    s_x2 = int(xs2[0])
-    buf = [text[order[0]]]
+    s_x1 = int(xs1l[0])
+    s_x2 = int(xs2l[0])
+    buf = [textl[0]]
     for k in range(1, n):
-        t_x1 = int(xs1[k])
+        t_x1 = int(xs1l[k])
         if t_x1 - s_x2 <= max_gap_px:
-            buf.append(text[order[k]])
-            s_x2 = max(s_x2, int(xs2[k]))
+            buf.append(textl[k])
+            x2k = int(xs2l[k])
+            if x2k > s_x2:
+                s_x2 = x2k
         else:
             spans.append((s_x1, s_x2, " ".join(buf).strip()))
-            s_x1, s_x2 = t_x1, int(xs2[k])
-            buf = [text[order[k]]]
+            s_x1, s_x2 = t_x1, int(xs2l[k])
+            buf = [textl[k]]
     spans.append((s_x1, s_x2, " ".join(buf).strip()))
     return spans
 

@@ -241,14 +241,45 @@ def scan_tokens_from_dom(
             if "ocr_line" in cls:
                 lid = n.get("id") or f"page_{pi}_line_{li + 1}"
                 li += 1
-                lb = parse_title_bbox(n.get("title", ""))
+                # inlined parse_title_bbox fast path (call overhead is ~1/3
+                # of its cost at 40k tokens/doc); slow path falls back to
+                # the function, so the accepted language is IDENTICAL
+                title = n.get("title", "")
+                if title and title.startswith("bbox "):
+                    parts = title[5:].split(" ")
+                    if (
+                        len(parts) == 4
+                        and parts[0].isdecimal()
+                        and parts[1].isdecimal()
+                        and parts[2].isdecimal()
+                        and parts[3].isdecimal()
+                    ):
+                        lb = (int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3]))
+                    else:
+                        lb = parse_title_bbox(title)
+                else:
+                    lb = parse_title_bbox(title)
                 if lb:
                     line_boxes.append((lid, lb))
             if "ocrx_word" in cls:
                 word_nodes.append(n)
 
         for n in word_nodes:
-            bb = parse_title_bbox(n.get("title", ""))
+            title = n.get("title", "")
+            if title and title.startswith("bbox "):
+                parts = title[5:].split(" ")
+                if (
+                    len(parts) == 4
+                    and parts[0].isdecimal()
+                    and parts[1].isdecimal()
+                    and parts[2].isdecimal()
+                    and parts[3].isdecimal()
+                ):
+                    bb = (int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3]))
+                else:
+                    bb = parse_title_bbox(title)
+            else:
+                bb = parse_title_bbox(title)
             if not bb:
                 continue
             x1, y1, x2, y2 = bb

@@ -134,20 +134,31 @@ def assign_words_to_columns(
     # reference's per-token scan (assign.py:18-24) because intervals are
     # sorted; "first inside" = lowest interval index with L<=xc<=R, and the
     # fallback argmin keeps np.argmin's first-min tie rule.
+    if not lines:
+        return []
     L = np.asarray([c[0] for c in columns], dtype=np.float64)
     R = np.asarray([c[1] for c in columns], dtype=np.float64)
+    # one batched numpy pass over ALL lines' tokens (lines are short — tens
+    # of tokens — so per-line numpy dispatch overhead dominated the math;
+    # same per-token expressions, same order, just concatenated)
+    all_idx = np.concatenate([ln.idx for ln in lines])
+    xcs = (tok.x1[all_idx] + tok.x2[all_idx]) / 2.0
+    inside = (L[None, :] <= xcs[:, None]) & (xcs[:, None] <= R[None, :])
+    any_inside = inside.any(axis=1)
+    first_inside = inside.argmax(axis=1)
+    dists = np.minimum(np.abs(xcs[:, None] - L[None, :]), np.abs(xcs[:, None] - R[None, :]))
+    nearest = dists.argmin(axis=1)
+    target = np.where(any_inside, first_inside, nearest).tolist()
+    texts = tok.text[all_idx].tolist()
+    ncol = len(columns)
     recs: List[Rec] = []
+    pos = 0
     for ln in lines:
-        buckets: List[List[str]] = [[] for _ in columns]
-        xcs = (tok.x1[ln.idx] + tok.x2[ln.idx]) / 2.0
-        inside = (L[None, :] <= xcs[:, None]) & (xcs[:, None] <= R[None, :])
-        any_inside = inside.any(axis=1)
-        first_inside = inside.argmax(axis=1)
-        dists = np.minimum(np.abs(xcs[:, None] - L[None, :]), np.abs(xcs[:, None] - R[None, :]))
-        nearest = dists.argmin(axis=1)
-        target = np.where(any_inside, first_inside, nearest)
-        for k, i in enumerate(ln.idx):
-            buckets[int(target[k])].append(tok.text[i])
+        end = pos + len(ln.idx)
+        buckets: List[List[str]] = [[] for _ in range(ncol)]
+        for k in range(pos, end):
+            buckets[target[k]].append(texts[k])
+        pos = end
         recs.append(
             Rec(
                 page=ln.page,

@@ -47,10 +47,10 @@ def _finish_lists(
     members = sorted(members, key=x1l.__getitem__)
     return Line(
         page=page,
-        x1=min(x1l[i] for i in members),
-        y1=min(y1l[i] for i in members),
-        x2=max(x2l[i] for i in members),
-        y2=max(y2l[i] for i in members),
+        x1=x1l[members[0]],  # members are x1-sorted: min(x1) is the first
+        y1=min(map(y1l.__getitem__, members)),
+        x2=max(map(x2l.__getitem__, members)),
+        y2=max(map(y2l.__getitem__, members)),
         idx=np.asarray(members, dtype=np.int64),
         line_id=line_id,
     )
