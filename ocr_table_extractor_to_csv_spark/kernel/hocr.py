@@ -221,7 +221,7 @@ def scan_tokens_from_dom(
     boxes: List[Tuple[int, int, int, int]] = []
     line_ids: List[Optional[str]] = []
 
-    page_nodes = [n for n in root.iter() if _has_class(n, "ocr_page")]
+    page_nodes = [n for n in root.iter() if "ocr_page" in (n.get("class") or "")]
     for pi, page in enumerate(page_nodes, start=1):
         # ONE fused pass over descendants dispatching on class (lines are
         # still all collected BEFORE any word is resolved — a word may sit
