@@ -1839,6 +1839,92 @@ FROM events GROUP BY 1
 """
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup: canonicalize cosmetically-noisy URLs (host case,
+    :80, fragments, utm_* params, /index.html) and fold duplicates —
+    the cheapest dedup in a web pipeline, run before any content pass.
+    The documents table carries no URL, so a deterministic synthetic one
+    is attached from md5(doc_id) bits (the oracle reproduces the bytes)."""
+    from ocr_table_extractor_to_csv_spark.operators.weburl import (
+        url_dedup,
+        with_synth_url,
+    )
+
+    return url_dedup(with_synth_url(_docs(spark, sf_dir)))
+
+
+ORACLE_URL_DEDUP = """
+WITH raw AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('url:' || doc_id), 1, 2) AS INT) AS b,
+         source || '.example.com' AS host,
+         CAST(doc_id % 13 AS VARCHAR) AS slot,
+         CAST(doc_id % 7 AS VARCHAR) AS frag
+  FROM documents
+), u AS (
+  SELECT doc_id,
+         (CASE WHEN b & 1 = 1 THEN 'HTTP://' ELSE 'http://' END) ||
+         (CASE WHEN b & 2 = 2 THEN upper(host) ELSE host END) ||
+         (CASE WHEN b & 4 = 4 THEN ':80' ELSE '' END) ||
+         '/p/' || slot ||
+         (CASE WHEN b & 8 = 8 THEN '/index.html' ELSE '' END) ||
+         (CASE WHEN b & 16 = 16 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END) ||
+         (CASE WHEN b & 32 = 32 THEN '#s' || frag ELSE '' END) AS url
+  FROM raw
+), defrag AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf
+  FROM u
+), parts AS (
+  SELECT doc_id, url, nf,
+         lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1)) AS auth0,
+         regexp_extract(nf, '^[^:/?#]+://[^/?#]*([^#]*)', 1) AS rest
+  FROM defrag
+), norm AS (
+  SELECT doc_id, url, nf, scheme,
+         CASE WHEN scheme = 'http'  AND regexp_matches(auth0, ':80$')
+                THEN regexp_replace(auth0, ':80$', '')
+              WHEN scheme = 'https' AND regexp_matches(auth0, ':443$')
+                THEN regexp_replace(auth0, ':443$', '')
+              ELSE auth0 END AS auth,
+         regexp_extract(rest, '^([^?]*)', 1) AS path0,
+         regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS query0
+  FROM parts
+), paths AS (
+  SELECT doc_id, url, nf, scheme, auth, query0,
+         regexp_replace(path0, '/index\\.html$', '/') AS p0i
+  FROM norm
+), paths2 AS (
+  SELECT doc_id, url, nf, scheme, auth, query0,
+         CASE WHEN p0i <> '/' AND p0i LIKE '%/'
+                THEN substr(p0i, 1, length(p0i) - 1)
+              ELSE p0i END AS p1
+  FROM paths
+), built AS (
+  SELECT doc_id, url, nf, scheme, auth,
+         CASE WHEN p1 = '' THEN '/' ELSE p1 END AS path,
+         COALESCE(array_to_string(
+           list_filter(string_split(query0, '&'),
+                       x -> NOT starts_with(x, 'utm_')), '&'), '') AS query
+  FROM paths2
+), canon AS (
+  SELECT doc_id, url,
+         CASE WHEN scheme = '' THEN nf
+              ELSE scheme || '://' || auth || path ||
+                   (CASE WHEN query = '' THEN '' ELSE '?' || query END)
+         END AS canon_url
+  FROM built
+)
+SELECT canon_url,
+       count(*) AS n_docs,
+       count(DISTINCT url) AS n_variants,
+       min(doc_id) AS keeper_doc_id
+FROM canon
+GROUP BY canon_url
+ORDER BY canon_url
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -1873,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
+        "url_dedup": q_url_dedup,
         "pack_sequences": q_pack_sequences,
         "curate": q_curate,
         "curate_neardup": q_curate_neardup,
@@ -1927,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": ORACLE_SOURCE_STATS,
         "decontaminate": _oracle_decontaminate(),
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
+        "url_dedup": ORACLE_URL_DEDUP,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "curate": _oracle_curate(),
         "curate_neardup": _oracle_curate_neardup(),

@@ -805,3 +805,43 @@ def test_functions_to_number_analytics(spark):
     )
     got = [r.n for r in df.select(to_number_col(F.col("v")).alias("n")).collect()]
     assert got[0] == 1234.0 and got[1] == -500.0 and got[2] == 0.0 and got[3] is None
+
+
+def test_canonicalize_url_rules(spark):
+    from ocr_table_extractor_to_csv_spark.operators.weburl import canonicalize_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTP://WWW.Example.COM:80/a/index.html?utm_source=x#frag",
+         "http://www.example.com/a"),
+        ("https://H.com:443/", "https://h.com/"),
+        ("http://h.com", "http://h.com/"),
+        ("http://h.com/a?id=3&utm_campaign=z&b=2", "http://h.com/a?id=3&b=2"),
+        ("http://h.com/index.html", "http://h.com/"),
+        ("http://h.com:8080/a", "http://h.com:8080/a"),   # non-default port kept
+        ("https://h.com:80/a", "https://h.com:80/a"),     # :80 is not https default
+        ("not-a-url#x", "not-a-url"),                     # no scheme -> defrag only
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
+    got = [r.c for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, f"{raw!r}: got {g!r} want {want!r}"
+
+
+def test_url_dedup_folds_variants(spark):
+    from ocr_table_extractor_to_csv_spark.operators.weburl import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/x"),
+            (2, "HTTP://A.COM:80/x/index.html#top"),
+            (3, "http://a.com/x?utm_source=s"),
+            (4, "http://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r.canon_url: r for r in url_dedup(df).collect()}
+    assert rows["http://a.com/x"].n_docs == 3
+    assert rows["http://a.com/x"].n_variants == 3
+    assert rows["http://a.com/x"].keeper_doc_id == 1
+    assert rows["http://a.com/y"].n_docs == 1

@@ -250,3 +250,27 @@ def test_lsh_topk_single_sketch_scan(spark, tmp_path_factory):
     assert n_scans <= 4, f"embeddings scanned {n_scans} times"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "md5" not in plan, "plane weights must be precomputed literals"
+
+
+def test_url_dedup_single_shuffle_no_python(spark):
+    """url_dedup is ONE hash groupBy over JVM string expressions: a single
+    exchange (plus the orderBy's range exchange) and no Python eval nodes —
+    the cheapest member of the dedup family must stay that way."""
+    import re
+
+    from ocr_table_extractor_to_csv_spark.operators.weburl import (
+        url_dedup,
+        with_synth_url,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(50)], "doc_id long, source string"
+    )
+    plan = _formatted(spark, url_dedup(with_synth_url(docs)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly 3 exchanges: countDistinct(_raw)'s two-phase exact-distinct
+    # aggregate (partial by (canon_url, _raw), final by canon_url) plus the
+    # output orderBy's range exchange.  A 4th exchange would mean the
+    # canonicalization stopped being map-side.
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 3, plan[:3000]
