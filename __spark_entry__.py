@@ -1839,6 +1839,45 @@ FROM events GROUP BY 1
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style line-level dedup signal: per document, the fraction of its
+    10-token chunks that occur verbatim in another document (chunks stand
+    in for lines — the documents table carries no newlines).  The two-pass
+    explode -> global count -> join-back shape is exactly how C4/CCNet
+    remove cross-document boilerplate lines before training."""
+    from ocr_table_extractor_to_csv_spark.operators.dedup import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir))
+
+
+ORACLE_LINE_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+), c AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 10
+              THEN list_transform(
+                     generate_series(0, CAST(len(ts) // 10 AS INT) - 1),
+                     i -> array_to_string(ts[i*10+1 : i*10+10], ' '))
+              ELSE []::VARCHAR[] END AS chunks
+  FROM t
+), ex AS (
+  SELECT doc_id, unnest(chunks) AS chunk FROM c
+), cnt AS (
+  SELECT chunk, count(DISTINCT doc_id) AS docs_with FROM ex GROUP BY chunk
+)
+SELECT ex.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN cnt.docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       round(CAST(sum(CASE WHEN cnt.docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 6) AS dup_ratio
+FROM ex JOIN cnt USING (chunk)
+GROUP BY ex.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup: canonicalize cosmetically-noisy URLs (host case,
     :80, fragments, utm_* params, /index.html) and fold duplicates —
@@ -1960,6 +1999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
         "url_dedup": q_url_dedup,
+        "line_dedup": q_line_dedup,
         "pack_sequences": q_pack_sequences,
         "curate": q_curate,
         "curate_neardup": q_curate_neardup,
@@ -2015,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _oracle_decontaminate(),
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "url_dedup": ORACLE_URL_DEDUP,
+        "line_dedup": ORACLE_LINE_DEDUP,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "curate": _oracle_curate(),
         "curate_neardup": _oracle_curate_neardup(),

@@ -319,7 +319,11 @@ if __name__ == "__main__":
     ap.add_argument("--affinity", default=None, help="pin to cores a-b before JVM start")
     ap.add_argument("--shard", default=None, help="i/k url-hash shard filter")
     ap.add_argument("--n", type=int, default=8, help="cores per simulated executor")
-    ap.add_argument("--warm", type=int, default=1)
+    # 2 warm passes: extraction-family queries need 2-3 passes to reach
+    # steady state after JVM start (measured 26s -> 10s -> 4s -> ~1.7s on
+    # the first query of a cold session); one pass recorded mid-warmup
+    # medians for whichever query ran first
+    ap.add_argument("--warm", type=int, default=2)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--rounds", type=int, default=3, help="interleaved scaling rounds")
     args = ap.parse_args()

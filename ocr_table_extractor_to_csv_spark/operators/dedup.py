@@ -473,3 +473,64 @@ def simhash_pairs(
         cand.where(ham <= max_hamming)
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
     )
+
+
+def line_dedup(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame:
+    """C4-style duplicated-line signal: per document, the fraction of its
+    text chunks that also occur verbatim in ANOTHER document.
+
+    C4/CCNet dedup at line granularity — a line seen elsewhere in the
+    corpus is boilerplate (headers, navigation, license blurbs) and is
+    removed before training.  The documents table carries no newlines, so
+    disjoint ``chunk_tokens``-token windows stand in for lines; the
+    mechanics (explode -> global count -> join back -> per-doc ratio) are
+    exactly the two-pass line-dedup shape.
+
+    Returns (doc_id, n_chunks, n_dup_chunks, dup_ratio) — docs shorter
+    than one chunk are absent (no chunks, no signal).
+
+    Scale shape: one explode (rows x ~n_tokens/chunk_tokens), ONE groupBy
+    on the chunk text (high-cardinality key, countDistinct partials
+    combine map-side), one join back on the same key — the counts side
+    arrives pre-partitioned by the groupBy, so only the exploded side
+    shuffles for the join — then a per-doc groupBy.  At corpus scale key
+    the shuffle on a 128-bit digest of the chunk instead of the raw text
+    (same shape, smaller rows); kept raw here so the DuckDB oracle is
+    byte-identical.
+    """
+    toks = tokens_col(F.col("text"))
+    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
+    chunk_arr = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # sequence(0, n-1) with n <= 0 would generate a DESCENDING range in
+    # Spark (sequence(0,-1) = [0,-1]) — the when() guard above is load-bearing
+    ex = documents.select("doc_id", F.explode(chunk_arr).alias("chunk"))
+    counts = ex.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("docs_with")
+    )
+    return (
+        ex.join(counts, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("docs_with") > 1, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias(
+                "dup_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -845,3 +845,54 @@ def test_url_dedup_folds_variants(spark):
     assert rows["http://a.com/x"].n_variants == 3
     assert rows["http://a.com/x"].keeper_doc_id == 1
     assert rows["http://a.com/y"].n_docs == 1
+
+
+def test_canonicalize_url_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over a messy URL
+    space — the defining property of a canonical form.  One batched Spark
+    job (deterministic generator, no hypothesis: the URL space is built to
+    hit every rule combination)."""
+    import itertools
+
+    from ocr_table_extractor_to_csv_spark.operators.weburl import canonicalize_url
+
+    schemes = ["http://", "HTTP://", "https://", "HtTpS://", ""]
+    hosts = ["A.COM", "a.com:80", "a.com:443", "a.com:8080", "xn--bcher-kva.de"]
+    paths = ["", "/", "/x", "/x/", "/x/index.html", "/index.html", "/x//y/"]
+    queries = ["", "?", "?a=1", "?utm_a=1", "?a=1&utm_b=2&c=3", "?utm_a=1&utm_b=2"]
+    frags = ["", "#f", "#a#b"]
+    urls = [
+        s + h + p + q + f
+        for s, h, p, q, f in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    out = df.select(
+        F.col("u"),
+        canonicalize_url(F.col("u")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
+    ).collect()
+    bad = [(r.u, r.c1, r.c2) for r in out if r.c1 != r.c2]
+    assert not bad, f"{len(bad)} non-idempotent, first: {bad[:3]}"
+
+
+def test_line_dedup_hand_case(spark):
+    from ocr_table_extractor_to_csv_spark.operators.dedup import line_dedup
+
+    shared = " ".join(f"w{i}" for i in range(10))      # one exact shared chunk
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(10))
+    short = "tiny doc"                                  # < 10 tokens -> absent
+    df = spark.createDataFrame(
+        [
+            (1, shared + " " + uniq_a),   # 2 chunks, 1 duplicated
+            (2, shared + " " + uniq_b),   # 2 chunks, 1 duplicated
+            (3, uniq_b),                  # 1 chunk — ALSO in doc 2 -> duplicated
+            (4, short),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert 4 not in rows
+    assert rows[1].n_chunks == 2 and rows[1].n_dup_chunks == 1 and rows[1].dup_ratio == 0.5
+    assert rows[2].n_chunks == 2 and rows[2].n_dup_chunks == 2  # shared AND uniq_b
+    assert rows[3].n_chunks == 1 and rows[3].dup_ratio == 1.0
