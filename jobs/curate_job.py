@@ -36,7 +36,10 @@ def run_curate(
     min_quality: float | None = None,
     langs: list[str] | None = None,
     checkpoint_dir: str | None = None,
+    url_dedup: bool = False,
 ):
+    from pyspark.sql import functions as F
+
     from ocr_table_extractor_to_csv_spark.operators import dedup
     from ocr_table_extractor_to_csv_spark.operators.curation import (
         DEFAULT_LANGS,
@@ -45,6 +48,27 @@ def run_curate(
         curate_neardup,
         curate_pipeline,
     )
+
+    if url_dedup:
+        # URL-level dedup runs FIRST — O(n) string work + one groupBy is
+        # far cheaper than any content pass, so the content passes below
+        # see only canonical-URL keepers.  Keeper = min doc_id per
+        # canonical URL (deterministic on any partitioning).
+        if "url" not in documents.columns:
+            raise ValueError("--url-dedup requires a 'url' column")
+        from ocr_table_extractor_to_csv_spark.operators.weburl import (
+            canonicalize_url,
+        )
+
+        keep_ids = (
+            documents.select(
+                "doc_id", canonicalize_url(F.col("url")).alias("_canon")
+            )
+            .groupBy("_canon")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        documents = documents.join(keep_ids, "doc_id")
 
     mq = DEFAULT_MIN_QUALITY if min_quality is None else min_quality
     ls = tuple(langs) if langs else DEFAULT_LANGS
@@ -79,6 +103,9 @@ def main() -> None:
     ap.add_argument("--lang", action="append", default=None)
     ap.add_argument("--checkpoint-dir", default=None,
                     help="reliable checkpoint dir for the CC iterations (set on clusters)")
+    ap.add_argument("--url-dedup", action="store_true",
+                    help="pre-pass: keep one doc per canonical URL before "
+                    "any content pass (requires a 'url' column)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -95,6 +122,7 @@ def main() -> None:
         min_quality=args.min_quality,
         langs=args.lang,
         checkpoint_dir=args.checkpoint_dir,
+        url_dedup=args.url_dedup,
     )
     stats = kept.agg(
         F.count("*").alias("n_kept"), F.sum("n_tokens").alias("kept_tokens")
@@ -106,6 +134,7 @@ def main() -> None:
         "kept_tokens": int(stats.kept_tokens or 0),
         "keep_rate": round(stats.n_kept / max(1, n_in), 4),
         "mode": "pipeline" if args.pipeline else ("neardup" if args.neardup else "exact"),
+        "url_dedup": args.url_dedup,
         "out": args.out,
     }))
     spark.stop()

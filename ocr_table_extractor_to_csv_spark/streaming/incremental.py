@@ -111,3 +111,48 @@ def incremental_extract_warc(
     )
     query.awaitTermination()
     return query
+
+
+def incremental_url_dedup(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+):
+    """Streaming crawl-frontier URL dedup: emit each canonical URL the
+    FIRST time it is ever seen, across micro-batches AND across restarts
+    (the seen-set lives in the checkpointed dropDuplicates state).
+
+    This is the streaming twin of ``operators.weburl.url_dedup``: a crawl
+    follower canonicalizes arriving URLs and forwards only first sightings
+    downstream.  State is per canonical URL and unbounded BY DESIGN — a
+    crawl seen-set never expires; at frontier scale the state store is
+    RocksDB (spark.sql.streaming.stateStore.providerClass) and the key is
+    the canonical URL only (no payload columns cross into state).
+
+    Emits (canon_url, url, warc_ts) append-only; returns the finished
+    query.
+    """
+    from ocr_table_extractor_to_csv_spark.operators.weburl import canonicalize_url
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(pages_dir)
+        .select(
+            canonicalize_url(F.col("url")).alias("canon_url"),
+            "url",
+            "warc_ts",
+        )
+        .dropDuplicates(["canon_url"])
+    )
+    query = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

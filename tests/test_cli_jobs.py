@@ -164,3 +164,34 @@ def test_eval_job_numeric_columns_selection(spark, tmp_path):
     assert padded["numeric_by_column"] == []
     # text accuracy unaffected by the numeric scope
     assert full["text_accuracy"] == only_v1["text_accuracy"]
+
+
+def test_curate_job_url_dedup_prepass(tmp_path, spark):
+    """--url-dedup keeps one doc per canonical URL BEFORE the content pass:
+    the kept set equals curate() over the URL keepers, and a documents
+    frame without a url column raises."""
+    import pytest as _pytest
+
+    from jobs.curate_job import run_curate
+    from ocr_table_extractor_to_csv_spark.operators.curation import curate
+    from ocr_table_extractor_to_csv_spark.operators.weburl import with_synth_url
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(ValueError, match="url"):
+        run_curate(spark, docs, out=str(tmp_path / "x"), url_dedup=True)
+
+    wdocs = with_synth_url(docs)
+    kept = run_curate(spark, wdocs, out=str(tmp_path / "u"), url_dedup=True)
+
+    from pyspark.sql import functions as F
+
+    from ocr_table_extractor_to_csv_spark.operators.weburl import canonicalize_url
+
+    keep_ids = (
+        wdocs.select("doc_id", canonicalize_url(F.col("url")).alias("c"))
+        .groupBy("c").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    want = curate(wdocs.join(keep_ids, "doc_id"))
+    assert {tuple(r) for r in kept.collect()} == {tuple(r) for r in want.collect()}
+    # the pre-pass must actually shrink the input (synth URLs collide by design)
+    assert kept.count() < curate(wdocs).count()

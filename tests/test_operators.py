@@ -896,3 +896,42 @@ def test_line_dedup_hand_case(spark):
     assert rows[1].n_chunks == 2 and rows[1].n_dup_chunks == 1 and rows[1].dup_ratio == 0.5
     assert rows[2].n_chunks == 2 and rows[2].n_dup_chunks == 2  # shared AND uniq_b
     assert rows[3].n_chunks == 1 and rows[3].dup_ratio == 1.0
+
+
+def test_streaming_url_dedup_seen_set_across_restarts(spark, tmp_path):
+    """The crawl seen-set: a canonical URL is emitted on FIRST sighting
+    only — within a pass and across availableNow restarts (state lives in
+    the checkpoint)."""
+    import datetime
+
+    from ocr_table_extractor_to_csv_spark.streaming.incremental import (
+        incremental_url_dedup,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = datetime.datetime(2025, 1, 1)
+
+    def write(rows):
+        spark.createDataFrame(
+            [(u, ts, b"", "", "en") for u in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        ).coalesce(1).write.mode("append").parquet(pages_dir)
+
+    # pass 1: two spellings of /x plus /y -> 2 canonical firsts
+    write(["http://a.com/x", "HTTP://A.COM:80/x/index.html", "http://a.com/y"])
+    incremental_url_dedup(spark, pages_dir, out_dir, ckpt)
+    out1 = spark.read.parquet(out_dir)
+    assert sorted(r.canon_url for r in out1.collect()) == [
+        "http://a.com/x", "http://a.com/y",
+    ]
+
+    # pass 2 (restart, same checkpoint): /x AGAIN under a new spelling must
+    # NOT re-emit; /z is new
+    write(["http://a.com/x?utm_source=s", "http://a.com/z"])
+    incremental_url_dedup(spark, pages_dir, out_dir, ckpt)
+    out2 = spark.read.parquet(out_dir)
+    assert sorted(r.canon_url for r in out2.collect()) == [
+        "http://a.com/x", "http://a.com/y", "http://a.com/z",
+    ]
