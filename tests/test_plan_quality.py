@@ -274,3 +274,24 @@ def test_url_dedup_single_shuffle_no_python(spark):
     # canonicalization stopped being map-side.
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) == 3, plan[:3000]
+
+
+def test_line_dedup_plan_shape(spark):
+    """line_dedup's two-pass shape, pinned: explode feeds a chunk-keyed
+    sort-merge self-join against the countDistinct aggregate (2 exchanges
+    for the exact-distinct two-phase + 1 for the join's probe side), then
+    one per-doc groupBy exchange and the output sort's range exchange —
+    5 total, all JVM-side.  A 6th exchange or a Python eval node means the
+    chunking expression fell off the codegen path."""
+    import re
+
+    from ocr_table_extractor_to_csv_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 7}" for j in range(25))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    plan = _formatted(spark, line_dedup(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 5, plan[:3000]
