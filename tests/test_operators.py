@@ -821,6 +821,11 @@ def test_canonicalize_url_rules(spark):
         ("http://h.com:8080/a", "http://h.com:8080/a"),   # non-default port kept
         ("https://h.com:80/a", "https://h.com:80/a"),     # :80 is not https default
         ("not-a-url#x", "not-a-url"),                     # no scheme -> defrag only
+        ("", ""),                                         # empty survives
+        ("#", ""),                                        # bare fragment
+        ("http://", "http:///"),                          # empty authority+path
+        ("http://h.com?a=1", "http://h.com/?a=1"),        # query with no path
+        ("http://h.com/x?utm_a=1&utm_b=2", "http://h.com/x"),  # all params utm
     ]
     df = spark.createDataFrame([(r,) for r, _ in cases], "u string")
     got = [r.c for r in df.select(canonicalize_url(F.col("u")).alias("c")).collect()]
