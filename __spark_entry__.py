@@ -1878,6 +1878,46 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot reconciliation between two deterministic views of the
+    documents table: OLD drops doc_id%10==0, NEW drops doc_id%10==1 and
+    revises the text of doc_id%7==0 — so added/removed/changed are all
+    exercised and independently derivable in SQL."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_diff(old, new)
+
+
+ORACLE_CORPUS_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 10 <> 1
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.fp IS NULL THEN 'added'
+            WHEN new.fp IS NULL THEN 'removed'
+            WHEN old.fp <> new.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+WHERE (CASE WHEN old.fp IS NULL THEN 'added'
+            WHEN new.fp IS NULL THEN 'removed'
+            WHEN old.fp <> new.fp THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+ORDER BY doc_id
+"""
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup: canonicalize cosmetically-noisy URLs (host case,
     :80, fragments, utm_* params, /index.html) and fold duplicates —
@@ -2000,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "url_dedup": q_url_dedup,
         "line_dedup": q_line_dedup,
+        "corpus_diff": q_corpus_diff,
         "pack_sequences": q_pack_sequences,
         "curate": q_curate,
         "curate_neardup": q_curate_neardup,
@@ -2056,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "url_dedup": ORACLE_URL_DEDUP,
         "line_dedup": ORACLE_LINE_DEDUP,
+        "corpus_diff": ORACLE_CORPUS_DIFF,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "curate": _oracle_curate(),
         "curate_neardup": _oracle_curate_neardup(),

@@ -315,3 +315,38 @@ def curate_pipeline(
             F.pmod(cum - F.col("n_tokens"), F.lit(budget)).cast("int").alias("offset_in_bin"),
         )
     )
+
+
+def corpus_diff(old, new, id_col: str = "doc_id", text_col: str = "text"):
+    """Snapshot reconciliation: which documents were added, removed, or
+    changed between two corpus snapshots (e.g. two crawl drops, or an
+    Iceberg table at two snapshot ids).
+
+    Emits (doc_id, status) for every NON-identical doc — status in
+    {'added', 'removed', 'changed'} — ordered by doc_id; unchanged docs
+    (same id, same content digest) are absent.  The incremental-pipeline
+    primitive: downstream passes re-run only over this frame instead of
+    the full corpus.
+
+    Scale shape: both sides reduce to (id, md5(text)) at the scan — the
+    full-outer join shuffles 16-byte digests, never document payloads —
+    then one equi-join on the id and a map-side status expression.
+    """
+    from pyspark.sql import functions as F
+
+    of = old.select(F.col(id_col).alias("doc_id"),
+                    F.md5(F.col(text_col)).alias("_fp_old"))
+    nf = new.select(F.col(id_col).alias("doc_id"),
+                    F.md5(F.col(text_col)).alias("_fp_new"))
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        of.join(nf, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .where(F.col("status") != "unchanged")
+        .orderBy("doc_id")
+    )

@@ -493,10 +493,14 @@ def line_dedup(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     on the chunk text (high-cardinality key, countDistinct partials
     combine map-side), one join back on the same key — the counts side
     arrives pre-partitioned by the groupBy, so only the exploded side
-    shuffles for the join — then a per-doc groupBy.  At corpus scale key
-    the shuffle on a 128-bit digest of the chunk instead of the raw text
-    (same shape, smaller rows); kept raw here so the DuckDB oracle is
-    byte-identical.
+    shuffles for the join — then a per-doc groupBy.  Honest cost note:
+    the UNCACHED plan explodes the corpus twice (once feeding the counts,
+    once as the join probe — visible as two Generate nodes in the pinned
+    plan); at 100 TB either .persist() the exploded (doc_id, chunk) frame
+    or accept the second scan — re-scanning parquet is usually cheaper
+    than materializing an exploded corpus.  Also key the shuffle on a
+    128-bit digest of the chunk instead of the raw text (same shape,
+    smaller rows); kept raw here so the DuckDB oracle is byte-identical.
     """
     toks = tokens_col(F.col("text"))
     n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")

@@ -940,3 +940,16 @@ def test_streaming_url_dedup_seen_set_across_restarts(spark, tmp_path):
     assert sorted(r.canon_url for r in out2.collect()) == [
         "http://a.com/x", "http://a.com/y", "http://a.com/z",
     ]
+
+
+def test_corpus_diff_hand_case(spark):
+    from ocr_table_extractor_to_csv_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    got = [(r.doc_id, r.status) for r in corpus_diff(old, new).collect()]
+    assert got == [(1, "removed"), (3, "changed"), (4, "added")]
