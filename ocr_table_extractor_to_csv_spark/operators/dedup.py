@@ -501,6 +501,10 @@ def line_dedup(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     than materializing an exploded corpus.  Also key the shuffle on a
     128-bit digest of the chunk instead of the raw text (same shape,
     smaller rows); kept raw here so the DuckDB oracle is byte-identical.
+    Skew: a boilerplate chunk shared by 10^8 docs lands its join-back rows
+    in one partition — exactly the case AQE's skew-join splitting handles
+    (spark.sql.adaptive.skewJoin.enabled, on by default); the aggregate
+    side is immune (partial combine on (chunk, doc_id)).
     """
     toks = tokens_col(F.col("text"))
     n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
