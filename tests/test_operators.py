@@ -953,3 +953,28 @@ def test_corpus_diff_hand_case(spark):
     )
     got = [(r.doc_id, r.status) for r in corpus_diff(old, new).collect()]
     assert got == [(1, "removed"), (3, "changed"), (4, "added")]
+
+
+def test_new_dedup_ops_partitioning_neutral(spark):
+    """url_dedup / line_dedup / corpus_diff must produce identical rows
+    regardless of input partitioning — their keeper/status rules are
+    value-deterministic (min doc_id, content digests), never
+    first-row-wins."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import corpus_diff
+    from ocr_table_extractor_to_csv_spark.operators.dedup import line_dedup
+    from ocr_table_extractor_to_csv_spark.operators.weburl import (
+        url_dedup,
+        with_synth_url,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a, b = docs.repartition(13), docs.coalesce(1)
+
+    for op in (
+        lambda d: url_dedup(with_synth_url(d)),
+        line_dedup,
+        lambda d: corpus_diff(d.where(F.col("doc_id") % 2 == 0), d),
+    ):
+        ra = [tuple(r) for r in op(a).collect()]
+        rb = [tuple(r) for r in op(b).collect()]
+        assert ra == rb and len(ra) > 0
