@@ -474,10 +474,23 @@ def _warc_fixture_dir(spark, sf_dir: str) -> str:
     request records interleaved, bodies = utf-8 text behind an HTTP header
     block.  Driver-side generation is bounded fixture scaffolding; the
     operator under test (read_warc) is the scale path."""
+    import hashlib
     import os
 
+    # key the cache on the FULL path + the documents parquet's identity
+    # (mtime/size), not just the basename: two corpora sharing a basename,
+    # or a regenerated corpus at the same path, must not silently reuse a
+    # stale fixture (the oracle would then compare fresh md5s against old
+    # WARC bytes)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    d = f"/tmp/ocrx_warc_fixture_{tag}"
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        ident = f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = os.path.abspath(sf_dir)
+    digest = hashlib.md5(ident.encode()).hexdigest()[:10]
+    d = f"/tmp/ocrx_warc_fixture_{tag}_{digest}"
     if not os.path.exists(os.path.join(d, "_COMPLETE")):
         from ocr_table_extractor_to_csv_spark.sources.warc import write_warc_segments
 
@@ -1898,21 +1911,23 @@ def q_corpus_diff(spark, sf_dir):
 
 ORACLE_CORPUS_DIFF = """
 WITH old AS (
-  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 0
+  SELECT doc_id, md5(text) AS fp, TRUE AS present
+  FROM documents WHERE doc_id % 10 <> 0
 ), new AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS fp
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS fp,
+         TRUE AS present
   FROM documents WHERE doc_id % 10 <> 1
 )
 SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
-       CASE WHEN old.fp IS NULL THEN 'added'
-            WHEN new.fp IS NULL THEN 'removed'
-            WHEN old.fp <> new.fp THEN 'changed'
+       CASE WHEN old.present IS NULL THEN 'added'
+            WHEN new.present IS NULL THEN 'removed'
+            WHEN old.fp IS DISTINCT FROM new.fp THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
-WHERE (CASE WHEN old.fp IS NULL THEN 'added'
-            WHEN new.fp IS NULL THEN 'removed'
-            WHEN old.fp <> new.fp THEN 'changed'
+WHERE (CASE WHEN old.present IS NULL THEN 'added'
+            WHEN new.present IS NULL THEN 'removed'
+            WHEN old.fp IS DISTINCT FROM new.fp THEN 'changed'
             ELSE 'unchanged' END) <> 'unchanged'
 ORDER BY doc_id
 """

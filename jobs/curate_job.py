@@ -52,23 +52,15 @@ def run_curate(
     if url_dedup:
         # URL-level dedup runs FIRST — O(n) string work + one groupBy is
         # far cheaper than any content pass, so the content passes below
-        # see only canonical-URL keepers.  Keeper = min doc_id per
-        # canonical URL (deterministic on any partitioning).
+        # see only canonical-URL keepers.  url_keepers elects min doc_id
+        # per canonical URL and passes null/empty-URL docs through
+        # (URL-less docs cannot be URL-deduped; collapsing them onto the
+        # shared null key would silently drop all but one).
         if "url" not in documents.columns:
             raise ValueError("--url-dedup requires a 'url' column")
-        from ocr_table_extractor_to_csv_spark.operators.weburl import (
-            canonicalize_url,
-        )
+        from ocr_table_extractor_to_csv_spark.operators.weburl import url_keepers
 
-        keep_ids = (
-            documents.select(
-                "doc_id", canonicalize_url(F.col("url")).alias("_canon")
-            )
-            .groupBy("_canon")
-            .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id")
-        )
-        documents = documents.join(keep_ids, "doc_id")
+        documents = documents.join(url_keepers(documents), "doc_id")
 
     mq = DEFAULT_MIN_QUALITY if min_quality is None else min_quality
     ls = tuple(langs) if langs else DEFAULT_LANGS

@@ -103,6 +103,33 @@ def run_extract(
     return committed
 
 
+def land_warc(spark, warc_dir: str, out: str):
+    """Ingest raw WARC segments: land the parsed frame as parquet ONCE
+    (the WARC parse pass), then read everything downstream from the
+    landing table — the error count scans only the pruned (url, error)
+    columns, never the html, and extraction gets a columnar, splittable
+    input.  A persist() here instead would copy the full decompressed
+    corpus into executor storage and silently re-parse evicted
+    partitions; the landing table is also what you WANT at Common-Crawl
+    scale (no downstream job should ever re-parse raw WARC bytes).
+    Returns the good-pages frame; error segments are durably recorded in
+    ``<out>_warc_errors``."""
+    from ocr_table_extractor_to_csv_spark.sources.warc import read_warc
+
+    staging = f"{out.rstrip('/')}_warc_landing"
+    read_warc(spark, warc_dir).write.mode("overwrite").parquet(staging)
+    raw = spark.read.parquet(staging)
+    bad = raw.where(F.col("error").isNotNull())
+    n_bad = bad.count()
+    if n_bad:
+        print(f"warc: {n_bad} unreadable segment(s) skipped")
+        # never a silent drop: the skipped segments are durably recorded
+        bad.select("url", "error").write.mode("append").parquet(
+            f"{out.rstrip('/')}_warc_errors"
+        )
+    return raw.where(F.col("error").isNull())
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     src = ap.add_mutually_exclusive_group(required=True)
@@ -129,22 +156,7 @@ def main() -> None:
 
     spark = get_spark(app_name=f"extract-batch-{args.batch_id}")
     if args.warc:
-        from ocr_table_extractor_to_csv_spark.sources.warc import read_warc
-
-        # persist the parsed frame: the error pre-count is an eager action,
-        # and without the cache every WARC segment would be read,
-        # decompressed, and record-parsed TWICE (once for the count, once
-        # for extraction) — doubling ingest I/O at Common-Crawl scale
-        raw = read_warc(spark, args.warc).persist()
-        bad = raw.where(F.col("error").isNotNull())
-        n_bad = bad.count()
-        if n_bad:
-            print(f"warc: {n_bad} unreadable segment(s) skipped")
-            # never a silent drop: the skipped segments are durably recorded
-            bad.select("url", "error").write.mode("append").parquet(
-                f"{args.out.rstrip('/')}_warc_errors"
-            )
-        pages = raw.where(F.col("error").isNull())
+        pages = land_warc(spark, args.warc, args.out)
     else:
         pages = spark.read.parquet(args.pages)
     if args.lang:

@@ -128,7 +128,11 @@ def decontaminate(
     if eval_set is None:
         eval_set = documents.where(F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0)
     doc_sh = shingles(documents, n)
-    eval_distinct = shingles(eval_set, n).select("shingle").distinct()
+    # persist before the count: the guard's count() action would otherwise
+    # run the full eval-side explode+distinct once for the count and AGAIN
+    # uncached for the join below — and the persisted result is exactly
+    # what the join consumes
+    eval_distinct = shingles(eval_set, n).select("shingle").distinct().persist()
     n_eval = eval_distinct.count()
     if n_eval <= max_broadcast_shingles:
         decontaminate.last_strategy = "broadcast"
@@ -180,8 +184,6 @@ def pack_sequences(
     packing is independent, so parallelism = n_shards (set it to a multiple
     of the cluster's cores; a global single-window pack would serialize).
     """
-    from pyspark.sql.window import Window
-
     from .textstats import tokens_col
 
     n = F.size(tokens_col(F.col("text")))
@@ -190,15 +192,22 @@ def pack_sequences(
         F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
         n.alias("n_tokens"),
     )
+    return base.select("doc_id", "shard", "n_tokens", *_pack_columns(budget))
+
+
+def _pack_columns(budget: int) -> list:
+    """The contiguous-fill packing spec — (bin_id, offset_in_bin) from a
+    per-shard running token cumsum — as the ONE definition shared by
+    ``pack_sequences`` and ``curate_pipeline`` (and mirrored by both SQL
+    oracles), so the packing regime cannot silently drift between the
+    standalone operator and the composed pipeline.  Requires (doc_id,
+    shard, n_tokens) columns on the caller's frame."""
     w = Window.partitionBy("shard").orderBy("doc_id")
     cum = F.sum("n_tokens").over(w)
-    return base.select(
-        "doc_id",
-        "shard",
-        "n_tokens",
+    return [
         F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("bin_id"),
         F.pmod(cum - F.col("n_tokens"), F.lit(budget)).cast("int").alias("offset_in_bin"),
-    )
+    ]
 
 
 def sample_stratified(
@@ -300,9 +309,7 @@ def curate_pipeline(
     )
     survivors = scored.join(clean, "doc_id").join(keepers, "doc_id")
 
-    w = Window.partitionBy("shard").orderBy("doc_id")
     shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard")
-    cum = F.sum("n_tokens").over(w)
     return (
         survivors.select("doc_id", "n_tokens", "quality_score", "lang_pred", shard)
         .select(
@@ -311,8 +318,7 @@ def curate_pipeline(
             "quality_score",
             "lang_pred",
             "shard",
-            F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("bin_id"),
-            F.pmod(cum - F.col("n_tokens"), F.lit(budget)).cast("int").alias("offset_in_bin"),
+            *_pack_columns(budget),
         )
     )
 
@@ -334,14 +340,20 @@ def corpus_diff(old, new, id_col: str = "doc_id", text_col: str = "text"):
     """
     from pyspark.sql import functions as F
 
+    # a NULL text must not be conflated with an absent ROW: md5(NULL) is
+    # NULL, so presence is tracked by its own flag and the digest compare
+    # is null-safe — (5, NULL) -> (5, 'x') is 'changed', (5, NULL) ->
+    # (5, NULL) is unchanged (absent from the output)
     of = old.select(F.col(id_col).alias("doc_id"),
-                    F.md5(F.col(text_col)).alias("_fp_old"))
+                    F.md5(F.col(text_col)).alias("_fp_old"),
+                    F.lit(True).alias("_in_old"))
     nf = new.select(F.col(id_col).alias("doc_id"),
-                    F.md5(F.col(text_col)).alias("_fp_new"))
+                    F.md5(F.col(text_col)).alias("_fp_new"),
+                    F.lit(True).alias("_in_new"))
     status = (
-        F.when(F.col("_fp_old").isNull(), F.lit("added"))
-        .when(F.col("_fp_new").isNull(), F.lit("removed"))
-        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~F.col("_fp_old").eqNullSafe(F.col("_fp_new")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return (

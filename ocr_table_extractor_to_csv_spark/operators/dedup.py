@@ -237,8 +237,10 @@ def connected_components(
     subdirectory, writes the CONVERGED labels to ``final.parquet`` there,
     deletes every iteration checkpoint (Hadoop FS API — works on HDFS/S3/
     local alike), and returns a frame backed by the parquet — the run
-    leaves exactly one small durable artifact, which the caller may delete
-    after consuming.  (``setCheckpointDir`` is SparkContext-global: two
+    leaves exactly one small durable artifact whose path is printed and
+    exposed as ``connected_components.last_final_path`` so the caller/ops
+    can GC it after consuming the frame; a non-convergence raise deletes
+    the run directory entirely.  (``setCheckpointDir`` is SparkContext-global: two
     concurrent CC runs on one context would interleave dirs — run them
     sequentially, as the jobs layer does.)
     """
@@ -252,18 +254,32 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint()
 
+    def _fs_and_path(path: str):
+        p = spark._jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
     def _finalize(result: DataFrame) -> DataFrame:
         if run_dir is None:
             return result
         final = f"{run_dir}/final.parquet"
         result.write.mode("overwrite").parquet(final)
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(run_dir)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs, p = _fs_and_path(run_dir)
         for st in fs.listStatus(p):
             if st.getPath().getName() != "final.parquet":
                 fs.delete(st.getPath(), True)
+        # the one durable artifact per run — exposed so callers/ops can GC
+        # it after consuming the returned frame (the frame READS this path)
+        connected_components.last_final_path = final
+        print(f"connected_components: labels kept at {final}")
         return spark.read.parquet(final)
+
+    def _cleanup_run_dir() -> None:
+        # failure path: nothing converged, so nothing is worth keeping —
+        # delete every iteration checkpoint instead of leaking max_iter
+        # copies of the label table into the fault-tolerant store
+        if run_dir is not None:
+            fs, p = _fs_and_path(run_dir)
+            fs.delete(p, True)
 
     if checkpoint_dir is not None:
         run_dir = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
@@ -277,6 +293,7 @@ def connected_components(
     edges = _materialize(edges)
     labels = nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     connected_components.last_iters = None  # debug aid (single caller); reset per call
+    connected_components.last_final_path = None
     for it in range(max_iter):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
@@ -310,6 +327,7 @@ def connected_components(
             return _finalize(
                 labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
             )
+    _cleanup_run_dir()
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 

@@ -145,3 +145,22 @@ def url_dedup(documents_with_url: DataFrame, url_col: str = "url") -> DataFrame:
         )
         .orderBy("canon_url")
     )
+
+
+def url_keepers(documents_with_url: DataFrame, url_col: str = "url") -> DataFrame:
+    """The keeper-election half of :func:`url_dedup` as a reusable frame:
+    one (doc_id) row per canonical URL — min doc_id, deterministic on any
+    partitioning — for rows WITH a usable URL, plus EVERY row whose URL is
+    null or empty.  URL-less documents cannot be URL-deduped; collapsing
+    them onto the shared null/'' group key would silently keep one and
+    drop the rest of them, so they pass through instead."""
+    u = F.col(url_col)
+    keyed = documents_with_url.where(u.isNotNull() & (u != ""))
+    keyless = documents_with_url.where(u.isNull() | (u == ""))
+    keepers = (
+        keyed.select("doc_id", canonicalize_url(u).alias("_canon"))
+        .groupBy("_canon")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return keepers.unionByName(keyless.select("doc_id"))

@@ -136,7 +136,7 @@ def incremental_url_dedup(
     """
     from ocr_table_extractor_to_csv_spark.operators.weburl import canonicalize_url
 
-    stream = (
+    base = (
         spark.readStream.schema(schema)
         .parquet(pages_dir)
         .select(
@@ -144,8 +144,17 @@ def incremental_url_dedup(
             "url",
             "warc_ts",
         )
-        .dropDuplicates(["canon_url"])
     )
+    # null/empty URLs cannot be deduped by key — dropDuplicates would fold
+    # them all into ONE state entry and silently swallow every later one,
+    # so they bypass the seen-set and are always forwarded
+    keyed = base.where(
+        F.col("canon_url").isNotNull() & (F.col("canon_url") != "")
+    ).dropDuplicates(["canon_url"])
+    keyless = base.where(
+        F.col("canon_url").isNull() | (F.col("canon_url") == "")
+    )
+    stream = keyed.unionByName(keyless)
     query = (
         stream.writeStream.format("parquet")
         .option("path", out_dir)

@@ -195,3 +195,15 @@ def test_curate_job_url_dedup_prepass(tmp_path, spark):
     assert {tuple(r) for r in kept.collect()} == {tuple(r) for r in want.collect()}
     # the pre-pass must actually shrink the input (synth URLs collide by design)
     assert kept.count() < curate(wdocs).count()
+
+    # null/empty URLs pass through the pre-pass — they must NOT collapse
+    # into one keeper on the shared null key
+    ndocs = wdocs.withColumn(
+        "url",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(""))
+        .otherwise(F.col("url")),
+    )
+    kept_n = run_curate(spark, ndocs, out=str(tmp_path / "n"), url_dedup=True)
+    keyless_kept = curate(ndocs.where(F.col("url").isNull() | (F.col("url") == "")))
+    assert kept_n.count() >= keyless_kept.count() > 1

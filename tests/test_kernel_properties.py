@@ -64,3 +64,43 @@ def test_generic_expected_cols_coercion(tokens, k):
         # coercion drives the grid to exactly k columns whenever any
         # interval survives (columns.py:51-70)
         assert res.n_cols == k
+
+
+def test_scan_bbox_language_equals_parse_title_bbox():
+    """The scan loop INLINES parse_title_bbox's fast path at two call
+    sites for speed; this pins the accepted language to the function so
+    the copies cannot silently drift (adversarial titles: fast-path hits,
+    fast-path misses that the regex accepts, and rejects)."""
+    from ocr_table_extractor_to_csv_spark.kernel.hocr import (
+        parse_title_bbox,
+        scan_tokens,
+    )
+
+    titles = [
+        "bbox 1 2 3 4",                      # fast path
+        "bbox 10 20 30 40; x_wconf 96",      # suffix -> regex
+        "image p.png; bbox 5 6 7 8",         # prefix -> regex
+        "bbox  1 2 3 4",                     # double space -> regex
+        "bbox 1 2 3",                        # too few -> None
+        "bbox -1 2 3 4",                     # negative -> None
+        "bbox 1 2 3 ²",                 # superscript two: isdecimal False -> None
+        "bbox 01 002 3 4",                   # leading zeros -> ints
+        "x_size 12",                         # no bbox -> None
+        "bbox 1 2 3 4",                 # nbsp: split(' ') misses, java \s? regex decides
+    ]
+    words = "".join(
+        f'<span class="ocrx_word" title="{t}">w{i}</span>'
+        for i, t in enumerate(titles)
+    )
+    html = (
+        '<?xml version="1.0"?><html><body>'
+        f'<div class="ocr_page" title="bbox 0 0 100 100">{words}</div>'
+        "</body></html>"
+    ).encode()
+    tok = scan_tokens(html)
+    got = sorted(
+        (int(x1), int(y1), int(x2), int(y2))
+        for x1, y1, x2, y2 in zip(tok.x1, tok.y1, tok.x2, tok.y2)
+    )
+    want = sorted(bb for t in titles if (bb := parse_title_bbox(t)) is not None)
+    assert got == want

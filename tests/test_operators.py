@@ -157,6 +157,19 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert all("final.parquet" in p for p in written), written
     leaked = [p for p in written if "/rdd-" in p]
     assert not leaked, f"leaked iteration checkpoints: {leaked}"
+    # the kept artifact's path is exposed for ops GC
+    assert dedup.connected_components.last_final_path is not None
+    assert "final.parquet" in dedup.connected_components.last_final_path
+
+    # non-convergence must CLEAN UP the run dir, not leak max_iter label
+    # copies into the fault-tolerant store
+    import pytest as _pytest
+
+    before = {d for d in os.listdir(ckpt)} if os.path.isdir(ckpt) else set()
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(nodes, pairs, checkpoint_dir=ckpt, max_iter=0)
+    after = {d for d in os.listdir(ckpt)} if os.path.isdir(ckpt) else set()
+    assert after == before, f"failed run leaked: {after - before}"
 
 
 def test_dedup_clusters_keeper_semantics(spark):
@@ -933,13 +946,20 @@ def test_streaming_url_dedup_seen_set_across_restarts(spark, tmp_path):
     ]
 
     # pass 2 (restart, same checkpoint): /x AGAIN under a new spelling must
-    # NOT re-emit; /z is new
-    write(["http://a.com/x?utm_source=s", "http://a.com/z"])
+    # NOT re-emit; /z is new; null/empty URLs bypass the seen-set — BOTH
+    # null rows must flow through, not fold into one state entry
+    spark.createDataFrame(
+        [("http://a.com/x?utm_source=s", ts, b"", "", "en"),
+         ("http://a.com/z", ts, b"", "", "en"),
+         (None, ts, b"", "", "en"),
+         (None, ts, b"", "", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(1).write.mode("append").parquet(pages_dir)
     incremental_url_dedup(spark, pages_dir, out_dir, ckpt)
     out2 = spark.read.parquet(out_dir)
-    assert sorted(r.canon_url for r in out2.collect()) == [
-        "http://a.com/x", "http://a.com/y", "http://a.com/z",
-    ]
+    keyed = sorted(r.canon_url for r in out2.collect() if r.canon_url is not None)
+    assert keyed == ["http://a.com/x", "http://a.com/y", "http://a.com/z"]
+    assert sum(1 for r in out2.collect() if r.canon_url is None) == 2
 
 
 def test_corpus_diff_hand_case(spark):
@@ -953,6 +973,13 @@ def test_corpus_diff_hand_case(spark):
     )
     got = [(r.doc_id, r.status) for r in corpus_diff(old, new).collect()]
     assert got == [(1, "removed"), (3, "changed"), (4, "added")]
+
+    # NULL text is content, not absence: null->text is 'changed',
+    # null->null is unchanged (absent from the diff)
+    old2 = spark.createDataFrame([(5, None), (6, None)], "doc_id long, text string")
+    new2 = spark.createDataFrame([(5, "x"), (6, None)], "doc_id long, text string")
+    got2 = [(r.doc_id, r.status) for r in corpus_diff(old2, new2).collect()]
+    assert got2 == [(5, "changed")]
 
 
 def test_new_dedup_ops_partitioning_neutral(spark):

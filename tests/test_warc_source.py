@@ -150,3 +150,31 @@ def test_warc_through_extract_job_resume_path(spark, tmp_path):
     )
     rows = committed.collect()
     assert len(rows) == 2 and all(r.error is None for r in rows)
+
+
+def test_extract_job_warc_landing(spark, tmp_path):
+    """The --warc ingest path: one WARC parse lands a parquet staging
+    table, error segments are durably recorded, extraction reads the
+    landing — never the raw bytes twice."""
+    from jobs.extract_job import land_warc, run_extract
+
+    docs = _docs()
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a.warc").write_bytes(_segment(docs))
+    (d / "broken.warc").write_bytes(b"NOT A WARC FILE")
+    out = str(tmp_path / "out")
+
+    pages = land_warc(spark, str(d), out)
+    landing = spark.read.parquet(f"{out}_warc_landing")
+    assert landing.count() == len(docs) + 1  # 2 pages + 1 error row
+    errs = spark.read.parquet(f"{out}_warc_errors")
+    assert errs.count() == 1 and "broken" in errs.collect()[0].url
+
+    run_extract(
+        spark, pages.select("url", "html"), out=out,
+        progress_path=str(tmp_path / "prog"), batch_id=0, layout="auto",
+    )
+    extracted = spark.read.parquet(out)
+    assert extracted.count() == len(docs)
+    assert extracted.where(F.col("error").isNotNull()).count() == 0
