@@ -154,12 +154,16 @@ def url_keepers(documents_with_url: DataFrame, url_col: str = "url") -> DataFram
     null or empty.  URL-less documents cannot be URL-deduped; collapsing
     them onto the shared null/'' group key would silently keep one and
     drop the rest of them, so they pass through instead."""
-    u = F.col(url_col)
-    keyed = documents_with_url.where(u.isNotNull() & (u != ""))
-    keyless = documents_with_url.where(u.isNull() | (u == ""))
+    # split on the CANONICAL form, not the raw: a raw like '#frag' or '?x'
+    # canonicalizes to '' and would otherwise collapse with every other
+    # degenerate spelling into one group (same hazard as the null key)
+    c = documents_with_url.select(
+        "doc_id", canonicalize_url(F.col(url_col)).alias("_canon")
+    )
+    keyed = c.where(F.col("_canon").isNotNull() & (F.col("_canon") != ""))
+    keyless = c.where(F.col("_canon").isNull() | (F.col("_canon") == ""))
     keepers = (
-        keyed.select("doc_id", canonicalize_url(u).alias("_canon"))
-        .groupBy("_canon")
+        keyed.groupBy("_canon")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )

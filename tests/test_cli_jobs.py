@@ -207,3 +207,12 @@ def test_curate_job_url_dedup_prepass(tmp_path, spark):
     kept_n = run_curate(spark, ndocs, out=str(tmp_path / "n"), url_dedup=True)
     keyless_kept = curate(ndocs.where(F.col("url").isNull() | (F.col("url") == "")))
     assert kept_n.count() >= keyless_kept.count() > 1
+
+    # a raw URL that canonicalizes to '' (bare fragment) is keyless too —
+    # two of them must both survive, not collapse into the '' group
+    from ocr_table_extractor_to_csv_spark.operators.weburl import url_keepers
+
+    frag = spark.createDataFrame(
+        [(1, "#a"), (2, "#b"), (3, "http://h.com/x")], "doc_id long, url string"
+    )
+    assert url_keepers(frag).count() == 3
