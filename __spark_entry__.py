@@ -1130,7 +1130,9 @@ FROM l{iters}, chk
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash(_docs(spark, sf_dir))
+    """The 32-bit compact twin (EXPLICIT opt-in since r5 — the library
+    default is the 64-bit production width; see ``simhash64``)."""
+    return dedup.simhash(_docs(spark, sf_dir), bits=32)
 
 
 def q_simhash64(spark, sf_dir):
@@ -1857,7 +1859,9 @@ def q_line_dedup(spark, sf_dir):
     10-token chunks that occur verbatim in another document (chunks stand
     in for lines — the documents table carries no newlines).  The two-pass
     explode -> global count -> join-back shape is exactly how C4/CCNet
-    remove cross-document boilerplate lines before training."""
+    remove cross-document boilerplate lines before training.  The shuffle
+    key is md5(chunk) — 16 bytes per row instead of the raw chunk text —
+    and the oracle computes the identical digest (r4 verdict #4)."""
     from ocr_table_extractor_to_csv_spark.operators.dedup import line_dedup
 
     return line_dedup(_docs(spark, sf_dir))
@@ -1875,9 +1879,9 @@ WITH t AS (
               ELSE []::VARCHAR[] END AS chunks
   FROM t
 ), ex AS (
-  SELECT doc_id, unnest(chunks) AS chunk FROM c
+  SELECT doc_id, md5(unnest(chunks)) AS chunk_key FROM c
 ), cnt AS (
-  SELECT chunk, count(DISTINCT doc_id) AS docs_with FROM ex GROUP BY chunk
+  SELECT chunk_key, count(DISTINCT doc_id) AS docs_with FROM ex GROUP BY chunk_key
 )
 SELECT ex.doc_id,
        count(*) AS n_chunks,
@@ -1885,7 +1889,7 @@ SELECT ex.doc_id,
          AS n_dup_chunks,
        round(CAST(sum(CASE WHEN cnt.docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
              / count(*), 6) AS dup_ratio
-FROM ex JOIN cnt USING (chunk)
+FROM ex JOIN cnt USING (chunk_key)
 GROUP BY ex.doc_id
 ORDER BY doc_id
 """
@@ -2030,8 +2034,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NB: event_histogram sits near the FRONT since r5 — it was the only
+    # query without a CORRECTNESS_r04 row (the r4 driver sweep stopped at
+    # 50 entries, and it was registered last).  tests/test_entry_contract.py
+    # guards that queries() and oracle_sql() stay key-identical.
     return {
         "extract_grid4": q_extract_grid4,
+        "event_histogram": q_event_histogram,
         "extract_fin_grid": q_extract_fin_grid,
         "extract_dyn_grid": q_extract_dyn_grid,
         "dataset_grid": q_dataset_grid,
@@ -2081,7 +2090,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "windowed_counts": q_windowed_counts,
         "json_props_stats": q_json_props_stats,
-        "event_histogram": q_event_histogram,
     }
 
 
@@ -2089,6 +2097,7 @@ def oracle_sql() -> dict[str, str]:
     # every queries() entry has a full value-level oracle
     return {
         "extract_grid4": ORACLE_GRID4,
+        "event_histogram": ORACLE_EVENT_HISTOGRAM,
         "extract_fin_grid": ORACLE_FIN_GRID,
         "extract_dyn_grid": ORACLE_DYN_GRID,
         "dataset_grid": ORACLE_DATASET_GRID,
@@ -2138,5 +2147,4 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": ORACLE_SESSIONIZE,
         "windowed_counts": ORACLE_WINDOWED_COUNTS,
         "json_props_stats": ORACLE_JSON_PROPS,
-        "event_histogram": ORACLE_EVENT_HISTOGRAM,
     }

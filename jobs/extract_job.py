@@ -178,9 +178,6 @@ def main() -> None:
         giant_threshold=args.giant_threshold,
         manifests=args.manifests,
     )
-    if args.warc:
-        raw.unpersist()
-
     stats = committed.agg(
         F.count("*").alias("n"),
         F.coalesce(

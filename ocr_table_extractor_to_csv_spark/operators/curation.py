@@ -122,17 +122,30 @@ def decontaminate(
     falls back to a shuffle hash join (still keyed on shingle; the corpus
     pays one shuffle, correctness identical) and the chosen strategy is
     logged and exposed as ``decontaminate.last_strategy`` instead of AQE
-    silently flipping plans."""
+    silently flipping plans.
+
+    Cache lifecycle (r4 advice): the persisted eval-shingle frame feeds the
+    RETURNED (lazy) plan, so it cannot be unpersisted here — instead it is
+    exposed as ``decontaminate.last_eval_cache``, and each new call
+    unpersists the PREVIOUS call's frame first, so repeated calls (bench
+    trials, pipeline runs with rotating eval sets) retain at most ONE
+    cached eval set per session.  Callers that materialize the result and
+    want the memory back immediately can ``decontaminate.last_eval_cache
+    .unpersist()`` themselves."""
     from .dedup import shingles
 
     if eval_set is None:
         eval_set = documents.where(F.pmod(F.col("doc_id"), F.lit(eval_mod)) == 0)
     doc_sh = shingles(documents, n)
+    prev = getattr(decontaminate, "last_eval_cache", None)
+    if prev is not None:
+        prev.unpersist()
     # persist before the count: the guard's count() action would otherwise
     # run the full eval-side explode+distinct once for the count and AGAIN
     # uncached for the join below — and the persisted result is exactly
     # what the join consumes
     eval_distinct = shingles(eval_set, n).select("shingle").distinct().persist()
+    decontaminate.last_eval_cache = eval_distinct
     n_eval = eval_distinct.count()
     if n_eval <= max_broadcast_shingles:
         decontaminate.last_strategy = "broadcast"
@@ -256,6 +269,8 @@ def curate_pipeline(
     budget: int = 2048,
     n_shards: int = 16,
     checkpoint_dir: str | None = None,
+    materialize: str = "cache",
+    landing_dir: str | None = None,
 ) -> DataFrame:
     """The END-TO-END curation decision, composed from the standalone
     operators with NO recomputation of the corpus scan: a document lands in
@@ -272,19 +287,55 @@ def curate_pipeline(
     Returns (doc_id, n_tokens, quality_score, lang_pred, shard, bin_id,
     offset_in_bin).
 
-    Composition shape (the part that matters at 100 TB): the pruned
-    (doc_id, text) projection is ``.persist()``-ed and every branch —
+    Composition shape (the part that matters at 100 TB): every branch —
     scoring, corpus/eval shingles, MinHash signatures, CC node list —
-    derives from it, so the parquet source is scanned ONCE into cache
-    instead of once per branch (plan-pinned in tests).  Spark's cache
-    manager keys on the canonicalized plan, so repeated pipeline runs in
-    one session share the entry rather than piling up copies.  The
-    downstream joins are all equi-joins on doc_id over already-reduced
-    sides; filters run before every join (only gate-survivors shuffle).
+    derives from ONE pruned (doc_id, text) projection; the downstream
+    joins are all equi-joins on doc_id over already-reduced sides; filters
+    run before every join (only gate-survivors shuffle).
+
+    ``materialize`` picks HOW that shared projection is reused (r4 verdict
+    #2 — the right answer depends on deployment size):
+
+      * ``"cache"`` (default; right up to what executor storage holds):
+        ``.persist()`` — the source is scanned once into cache and every
+        branch reads memory/local disk.  The cached frame is exposed as
+        ``curate_pipeline.last_base_cache`` and each new call unpersists
+        the previous call's entry (at most one corpus cache retained per
+        session; callers can release it sooner themselves).  At 100 TB
+        this is a SECOND full copy of the corpus text in executor storage,
+        with eviction-triggered recompute — use "table".
+      * ``"table"``: write the projection to ``landing_dir`` (required —
+        HDFS/S3/Iceberg path) as parquet and read it back — a pruned,
+        columnar, splittable landing table; branches re-scan IT, never the
+        raw source.  The durable path is exposed as
+        ``curate_pipeline.last_landing_path`` for ops GC after the run.
+      * ``"none"``: no materialization — each branch re-scans the (pruned,
+        pushdown-filtered) source.  Right when the source is already a
+        cheap columnar table and storage is tighter than scan bandwidth.
+
+    All three modes are value-identical (tested); only the physical reuse
+    strategy differs.
     """
     from .dedup import dedup_clusters
 
-    base = documents.select("doc_id", "text").persist()
+    curate_pipeline.last_landing_path = None
+    prev = getattr(curate_pipeline, "last_base_cache", None)
+    if prev is not None:
+        prev.unpersist()
+        curate_pipeline.last_base_cache = None
+    base = documents.select("doc_id", "text")
+    if materialize == "cache":
+        base = base.persist()
+        curate_pipeline.last_base_cache = base
+    elif materialize == "table":
+        if landing_dir is None:
+            raise ValueError('materialize="table" requires landing_dir')
+        path = f"{landing_dir.rstrip('/')}/curate_base.parquet"
+        base.write.mode("overwrite").parquet(path)
+        curate_pipeline.last_landing_path = path
+        base = documents.sparkSession.read.parquet(path)
+    elif materialize != "none":
+        raise ValueError(f"materialize must be cache|table|none, got {materialize!r}")
 
     q = quality_columns(F.col("text"))
     scored = base.select(

@@ -10,6 +10,14 @@ for table-level / Iceberg-snapshot ingestion).
 No event-time windows or watermarks are needed: extraction is a stateless
 per-row transform.  ``foreachBatch`` writes both the extracted rows and the
 per-partition lineage manifests per micro-batch.
+
+foreachBatch sinks are AT-LEAST-once: a failure between a sink's write and
+the checkpoint commit replays the whole batch on restart.  Every parquet
+write inside a sink here is therefore made idempotent by partitioning on
+``stream_batch_id`` and using dynamic partition overwrite — a replayed
+batch REPLACES its own partition instead of appending duplicate rows, which
+upgrades the end-to-end guarantee to exactly-once per batch id (the batch
+id is stable across replays; the standard Structured Streaming recipe).
 """
 
 from __future__ import annotations
@@ -21,6 +29,18 @@ from pyspark.sql import functions as F
 
 from ..operators.extract import extract_pages
 from ..plans.lineage import build_manifests
+
+
+def _write_idempotent(df: DataFrame, path: str) -> None:
+    """Replace-my-own-partition parquet write for foreachBatch sinks: the
+    frame must carry ``stream_batch_id``; a replayed batch overwrites only
+    its own partition (dynamic partition overwrite), never other batches'."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("stream_batch_id")
+        .parquet(path)
+    )
 
 
 def incremental_extract(
@@ -44,11 +64,14 @@ def incremental_extract(
             "stream_batch_id", F.lit(batch_id)
         )
         extracted.persist()
-        extracted.write.mode("append").parquet(out_dir)
+        _write_idempotent(extracted, out_dir)
         if manifests_dir:
-            build_manifests(extracted).withColumn(
-                "stream_batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(manifests_dir)
+            _write_idempotent(
+                build_manifests(extracted).withColumn(
+                    "stream_batch_id", F.lit(batch_id)
+                ),
+                manifests_dir,
+            )
         extracted.unpersist()
 
     query = (
@@ -89,18 +112,28 @@ def incremental_extract_warc(
         parsed = batch_df.mapInArrow(warc_batches_fn, WARC_PAGES_SCHEMA).persist()
         # no-silent-drop contract: with the exactly-once checkpoint a corrupt
         # segment is permanently consumed, so its error row must be durably
-        # recorded (errors parquet next to out_dir) — not just filtered away
+        # recorded (errors parquet next to out_dir) — not just filtered away.
+        # Both writes are per-batch-partition overwrites: a batch replayed
+        # after a failure between them replaces its rows, never duplicates
+        # them (r4 advice — a plain append here was outside the exactly-once
+        # guarantee).
         bad = parsed.where(F.col("error").isNotNull())
         n_bad = bad.count()
         if n_bad:
             print(f"warc stream batch {batch_id}: {n_bad} unreadable segment(s)")
-            bad.select("url", "error").withColumn(
-                "stream_batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(f"{out_dir.rstrip('/')}_warc_errors")
+            _write_idempotent(
+                bad.select("url", "error").withColumn(
+                    "stream_batch_id", F.lit(batch_id)
+                ),
+                f"{out_dir.rstrip('/')}_warc_errors",
+            )
         pages = parsed.where(F.col("error").isNull())
-        extract_pages(pages.select("url", "html"), layout=layout).withColumn(
-            "stream_batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(out_dir)
+        _write_idempotent(
+            extract_pages(pages.select("url", "html"), layout=layout).withColumn(
+                "stream_batch_id", F.lit(batch_id)
+            ),
+            out_dir,
+        )
         parsed.unpersist()
 
     query = (

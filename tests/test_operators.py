@@ -203,10 +203,27 @@ def test_simhash_identical_equal_and_bounded(spark):
         [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps zeta")],
         "doc_id long, text string",
     )
-    rows = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    rows = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=32).collect()}
     assert rows[1] == rows[2]
     assert 0 <= rows[1] < 2**32
     assert rows[1] != rows[3]
+
+
+def test_simhash_defaults_are_production_width(spark):
+    """r4 verdict #3: a naive library caller must get the PRODUCTION
+    configuration — 64-bit hashes (16-bit band keys), not the compact
+    32-bit twin.  The low 32 bit-sums of the 64-bit hash equal the 32-bit
+    variant's by construction, which pins that the default really is the
+    same family at double width."""
+    assert dedup.SIMHASH_BITS == 64
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    by_default = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    explicit64 = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=64).collect()}
+    assert by_default == explicit64
+    # the top word is actually in use (a 32-bit hash could never show this)
+    assert any(v < 0 or v >= 2**32 for v in by_default.values())
+    lo32 = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=32).collect()}
+    assert all((v & 0xFFFFFFFF) == lo32[k] for k, v in by_default.items())
 
 
 def test_simhash64_exact_recall_vs_brute_force(spark):
@@ -914,6 +931,18 @@ def test_line_dedup_hand_case(spark):
     assert rows[1].n_chunks == 2 and rows[1].n_dup_chunks == 1 and rows[1].dup_ratio == 0.5
     assert rows[2].n_chunks == 2 and rows[2].n_dup_chunks == 2  # shared AND uniq_b
     assert rows[3].n_chunks == 1 and rows[3].dup_ratio == 1.0
+
+    # persist_exploded must be a pure execution-strategy knob: identical
+    # rows, the exploded digest frame cached, and the cache released on the
+    # next call (lifecycle contract — at most one retained per session)
+    rows_p = {r.doc_id: r for r in line_dedup(df, persist_exploded=True).collect()}
+    assert {k: tuple(v) for k, v in rows_p.items()} == {
+        k: tuple(v) for k, v in rows.items()
+    }
+    cache = line_dedup.last_exploded_cache
+    assert cache is not None and cache.is_cached
+    assert line_dedup(df).count() == 3  # default call releases the old cache
+    assert not cache.is_cached and line_dedup.last_exploded_cache is None
 
 
 def test_streaming_url_dedup_seen_set_across_restarts(spark, tmp_path):

@@ -95,6 +95,15 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
 
 
+def test_queries_and_oracles_key_identical():
+    """r4 verdict #1 insurance: EVERY queries() entry must carry an oracle
+    (and vice versa) — a key drift would silently demote a query to the
+    weaker rows-only check in the driver's sweep."""
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert q == o, f"only in queries: {sorted(q - o)}; only in oracles: {sorted(o - q)}"
+
+
 def test_rows_only_queries_run(spark):
     oracles = set(entry_mod.oracle_sql())
     for name, q in entry_mod.queries().items():

@@ -172,6 +172,34 @@ def test_pipeline_full_single_cached_corpus_scan(spark):
     assert "InMemoryTableScan" in plan
 
 
+def test_pipeline_full_materialize_table_plan_and_parity(spark, tmp_path):
+    """materialize="table" (the 100 TB mode — r4 verdict #2): the plan must
+    read the corpus exclusively through the pruned parquet LANDING table —
+    zero scans of the original documents source, zero cache — and produce
+    rows identical to the cache mode."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import curate_pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cached = curate_pipeline(docs).orderBy("doc_id").collect()
+
+    landed_df = curate_pipeline(
+        docs, materialize="table", landing_dir=str(tmp_path / "landing")
+    )
+    plan = _formatted(spark, landed_df)
+    # every parquet scan reads the landing table; the original documents
+    # source is never rescanned (decontaminate's small eval-shingle cache
+    # may still appear as an InMemoryTableScan — that one is intentional)
+    assert "curate_base" in plan
+    assert "documents.parquet" not in plan, "source rescanned in table mode"
+    assert curate_pipeline.last_landing_path is not None
+    assert landed_df.orderBy("doc_id").collect() == cached
+
+    none_df = curate_pipeline(docs, materialize="none")
+    plan_none = _formatted(spark, none_df)
+    assert "documents.parquet" in plan_none, "none mode re-scans the pruned source"
+    assert none_df.orderBy("doc_id").collect() == cached
+
+
 def test_decontaminate_broadcasts_eval_side(spark):
     """The eval-set side of the overlap join must BROADCAST (benchmark
     suites are tiny vs a 100 TB corpus — a shuffle join here would shuffle
