@@ -534,6 +534,121 @@ FROM documents
 """
 
 
+def _giants_resume_dir(sf_dir: str) -> str:
+    """Stable per-sf scratch root for the giants_resume job run (same
+    identity keying as the WARC fixture dir: full path + documents parquet
+    mtime/size, so a regenerated corpus never reuses stale output)."""
+    import hashlib
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        ident = f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = os.path.abspath(sf_dir)
+    digest = hashlib.md5(ident.encode()).hexdigest()[:10]
+    return f"/tmp/ocrx_giants_resume_v1_{tag}_{digest}"
+
+
+def q_giants_resume(spark, sf_dir):
+    """The FULL batch-job body under the driver's oracle (r4 verdict #6):
+    resume anti-join against a pre-populated progress table + the two-pass
+    giants split + idempotent partitioned commit, end to end through
+    ``jobs.extract_job.run_extract`` with real parquet writes.
+
+    Deterministic setup so every piece is SQL-derivable:
+      * progress is seeded with doc_id % 5 == 0 marked done (batch 1) —
+        those pages must be ABSENT from the committed batch-2 output
+        (anti-join honored);
+      * giants are classified by a synthetic ``pad`` size column
+        (9 chars iff doc_id % 11 == 0, threshold 5) — ``extract_pages``
+        prunes it before the kernel, and the committed ``pass`` partition
+        column records which pass extracted each page, so the small/giant
+        routing is value-checked, not just plan-checked;
+      * extraction itself is the grid4 generic pipeline, so n_rows/csv_md5
+        reuse the same oracle algebra as ``extract_grid4``.
+
+    Repeated invocations overwrite the same keyed scratch dir (seed reset
+    + dynamic partition overwrite), so a bench warm pass is literally a
+    batch re-run — identical committed bytes, never duplicates.
+    """
+    from jobs.extract_job import run_extract
+
+    root = _giants_resume_dir(sf_dir)
+    out, prog = f"{root}/extracted", f"{root}/progress"
+
+    docs = _docs(spark, sf_dir)
+    pages = pages_from_documents(docs).withColumn(
+        "doc_id", F.split(F.col("url"), "://")[1].cast("long")
+    )
+    pages = pages.withColumn(
+        "pad",
+        F.when(F.col("doc_id") % 11 == 0, F.lit("x" * 9)).otherwise(F.lit("")),
+    )
+    seed = pages.where(F.col("doc_id") % 5 == 0).select(
+        "url",
+        F.lit(1).alias("batch_id"),
+        F.lit("done").alias("status"),
+        F.lit(0).alias("n_rows"),
+        F.lit(None).cast("string").alias("error"),
+        F.current_timestamp().alias("ts"),
+    )
+    seed.write.mode("overwrite").parquet(prog)
+
+    committed = run_extract(
+        spark,
+        pages.select("url", "html", "pad"),
+        out=out,
+        progress_path=prog,
+        batch_id=2,
+        layout="generic",
+        giant_threshold=5,
+        size_col="pad",
+    )
+    return committed.select(
+        F.split(F.col("url"), "://")[1].cast("long").alias("doc_id"),
+        F.col("pass").cast("string").alias("pass"),
+        "n_rows",
+        "n_cols",
+        F.md5(_strip_bom_text("csv")).alias("csv_md5"),
+    )
+
+
+ORACLE_GIANTS_RESUME = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+              THEN []::VARCHAR[]
+              ELSE list_transform(
+                     string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '),
+                     t -> t[1:12])
+         END AS ts
+  FROM documents
+  WHERE doc_id % 5 <> 0   -- progress-seeded pages are resumed, not re-extracted
+), ok AS (
+  SELECT doc_id, ts, CAST(len(ts) // 4 AS BIGINT) AS nrows
+  FROM toks WHERE len(ts) >= 4
+), lines AS (
+  SELECT doc_id, r,
+         ts[4*r+1] || ',' || ts[4*r+2] || ',' || ts[4*r+3] || ',' || ts[4*r+4] AS line
+  FROM ok, UNNEST(generate_series(0, CAST(nrows - 1 AS INT))) AS u(r)
+), agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(13)||chr(10) ORDER BY r) || chr(13)||chr(10) AS csv_text,
+         count(*) AS total
+  FROM lines GROUP BY doc_id
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 0 THEN 'giant' ELSE 'small' END AS "pass",
+       CAST(total - 1 AS INT) AS n_rows,
+       CAST(4 AS INT) AS n_cols,
+       md5(csv_text) AS csv_md5
+FROM agg
+"""
+
+
 def q_token_count(spark, sf_dir):
     return textstats.token_count(_docs(spark, sf_dir))
 
@@ -973,6 +1088,48 @@ SELECT doc_id, n_tokens, quality_score, lang_pred, shard,
        CAST((cum - n_tokens) // {budget} AS BIGINT) AS bin_id,
        CAST((cum - n_tokens) % {budget} AS INT) AS offset_in_bin
 FROM c
+"""
+
+
+def q_pipeline_full_v2(spark, sf_dir):
+    """``pipeline_full`` with canonical-URL dedup wired in as pass 0 (r4
+    verdict stretch #8): the cheapest pass runs FIRST over synthesized
+    noisy URLs, and every content pass (gates, decontaminate, near-dup
+    keepers, packing) runs over the URL-deduped corpus — sequential
+    semantics, exactly as a staged production pipeline.  Still zero extra
+    corpus scans: pass 0 derives from the same shared projection
+    (plan-pinned in tests)."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import curate_pipeline
+    from ocr_table_extractor_to_csv_spark.operators.weburl import with_synth_url
+
+    return curate_pipeline(with_synth_url(_docs(spark, sf_dir)), url_col="url")
+
+
+def _oracle_pipeline_v2(budget: int = 2048, n_shards: int = 16) -> str:
+    """Pass-0 URL keepers (canon chain + min-doc_id election + keyless
+    passthrough) feeding the UNCHANGED pipeline algebra re-pointed at the
+    URL-deduped corpus: every ``FROM documents`` in the composed body is
+    rewritten to the ``docs_v2`` keeper join, so eval-set slices, LSH
+    signatures, and CC labels are all computed post-pass-0 — the same
+    sequential semantics as the Spark side."""
+    body = _oracle_pipeline_full(budget, n_shards).replace(
+        "FROM documents", "FROM docs_v2"
+    ).strip()
+    assert body.startswith("WITH ")
+    return f"""
+WITH {_URL_CANON_CTES},
+ukeyed AS (
+  SELECT min(doc_id) AS doc_id FROM canon
+  WHERE canon_url IS NOT NULL AND canon_url <> ''
+  GROUP BY canon_url
+), ukeyless AS (
+  SELECT doc_id FROM canon WHERE canon_url IS NULL OR canon_url = ''
+), ukeep AS (
+  SELECT doc_id FROM ukeyed UNION ALL SELECT doc_id FROM ukeyless
+), docs_v2 AS MATERIALIZED (
+  SELECT d.* FROM documents d JOIN ukeep USING (doc_id)
+),
+{body[len("WITH "):]}
 """
 
 
@@ -1951,8 +2108,10 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(with_synth_url(_docs(spark, sf_dir)))
 
 
-ORACLE_URL_DEDUP = """
-WITH raw AS (
+# the synth-URL + canonicalization chain (DuckDB twin of weburl.with_synth_url
+# + weburl.canonicalize_url), reused by ORACLE_URL_DEDUP and the pipeline-v2
+# oracle's pass-0 keeper CTEs
+_URL_CANON_CTES = """raw AS (
   SELECT doc_id,
          CAST('0x' || substr(md5('url:' || doc_id), 1, 2) AS INT) AS b,
          source || '.example.com' AS host,
@@ -2012,7 +2171,10 @@ WITH raw AS (
                    (CASE WHEN query = '' THEN '' ELSE '?' || query END)
          END AS canon_url
   FROM built
-)
+)"""
+
+ORACLE_URL_DEDUP = f"""
+WITH {_URL_CANON_CTES}
 SELECT canon_url,
        count(*) AS n_docs,
        count(DISTINCT url) AS n_variants,
@@ -2050,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_args_dispatch": q_extract_args_dispatch,
         "extract_transformers": q_extract_transformers,
         "warc_roundtrip": q_warc_roundtrip,
+        "giants_resume": q_giants_resume,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
@@ -2069,6 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "curate_neardup": q_curate_neardup,
         "pipeline_full": q_pipeline_full,
+        "pipeline_full_v2": q_pipeline_full_v2,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -2107,6 +2271,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_args_dispatch": ORACLE_ARGS_DISPATCH,
         "extract_transformers": ORACLE_GRID4,
         "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,
+        "giants_resume": ORACLE_GIANTS_RESUME,
         "token_count": ORACLE_TOKEN_COUNT,
         "token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
         "text_quality": ORACLE_TEXT_QUALITY,
@@ -2126,6 +2291,7 @@ def oracle_sql() -> dict[str, str]:
         "curate": _oracle_curate(),
         "curate_neardup": _oracle_curate_neardup(),
         "pipeline_full": _oracle_pipeline_full(),
+        "pipeline_full_v2": _oracle_pipeline_v2(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_lsh": ORACLE_MINHASH_LSH,

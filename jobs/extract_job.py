@@ -52,6 +52,7 @@ def run_extract(
     per_row_dispatch: bool = False,
     giant_threshold: int = 8 * 1024 * 1024,
     manifests: str | None = None,
+    size_col: str = "html",
 ):
     """The job body, callable from tests.  Two pass-isolated actions:
 
@@ -64,12 +65,15 @@ def run_extract(
     re-run of either replaces rather than duplicates (see plans/resume.py),
     and the giants conf can NEVER leak into the small pass (r01 verdict #2:
     the old lazy-union version executed BOTH passes at 4 rows/batch).
-    Returns the committed DataFrame for this batch.
+    ``size_col`` is the column whose byte/char length classifies giants
+    (default the html payload itself); extraction prunes it away, so a
+    caller may attach a precomputed size column without touching the
+    kernel input.  Returns the committed DataFrame for this batch.
     """
     progress = read_progress(spark, progress_path)
     pending = pending_pages(pages, progress)
 
-    small, giants = isolate_giants(pending, giant_threshold)
+    small, giants = isolate_giants(pending, giant_threshold, size_col=size_col)
     write_batch(
         extract_pages(small, layout=layout, per_row_dispatch=per_row_dispatch),
         batch_id,

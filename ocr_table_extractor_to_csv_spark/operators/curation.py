@@ -271,14 +271,25 @@ def curate_pipeline(
     checkpoint_dir: str | None = None,
     materialize: str = "cache",
     landing_dir: str | None = None,
+    url_col: str | None = None,
 ) -> DataFrame:
     """The END-TO-END curation decision, composed from the standalone
     operators with NO recomputation of the corpus scan: a document lands in
     the packed output iff it
 
+      0. (``url_col`` set) survives canonical-URL dedup — ``url_keepers``
+         pass 0, the CHEAPEST pass in a web pipeline (map-only
+         canonicalization + one groupBy), run BEFORE any content pass so
+         recrawl spellings of one page never reach the shingle/signature
+         stages; URL-less rows pass through (they cannot be URL-deduped),
       1. passes the lang + quality gates (``curate`` scoring spec),
       2. is NOT benchmark-contaminated (``decontaminate``), and
       3. is its MinHash-LSH near-dup cluster's keeper (``dedup_clusters``),
+
+    Pass 0 is SEQUENTIAL, not conjunctive: the content passes (eval-set
+    slice, near-dup components, keeper min-ids) are computed over the
+    URL-deduped corpus, exactly as a staged production pipeline would run
+    them — a URL-dropped doc can neither win nor veto a content cluster.
 
     and the survivors are then ``pack_sequences``-packed into token bins
     (shard = doc_id % n_shards over SURVIVORS, contiguous fill in doc_id
@@ -323,7 +334,8 @@ def curate_pipeline(
     if prev is not None:
         prev.unpersist()
         curate_pipeline.last_base_cache = None
-    base = documents.select("doc_id", "text")
+    cols = ["doc_id", "text"] + ([url_col] if url_col else [])
+    base = documents.select(*cols)
     if materialize == "cache":
         base = base.persist()
         curate_pipeline.last_base_cache = base
@@ -336,6 +348,14 @@ def curate_pipeline(
         base = documents.sparkSession.read.parquet(path)
     elif materialize != "none":
         raise ValueError(f"materialize must be cache|table|none, got {materialize!r}")
+
+    if url_col is not None:
+        from .weburl import url_keepers
+
+        # pass 0 over the SHARED projection (no extra source scan): every
+        # downstream branch derives from the URL-deduped corpus
+        keep0 = url_keepers(base.select("doc_id", url_col), url_col=url_col)
+        base = base.join(keep0, "doc_id").select("doc_id", "text")
 
     q = quality_columns(F.col("text"))
     scored = base.select(

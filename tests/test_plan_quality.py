@@ -172,6 +172,29 @@ def test_pipeline_full_single_cached_corpus_scan(spark):
     assert "InMemoryTableScan" in plan
 
 
+def test_pipeline_full_v2_url_pass0_zero_extra_scans(spark):
+    """pipeline_full_v2 (URL dedup as pass 0): the canonicalization +
+    keeper election must derive from the SAME shared projection as the
+    content passes — still zero direct parquet scans of documents, and no
+    Python eval nodes anywhere (canonicalize_url is pure JVM regex)."""
+    import __spark_entry__ as entry_mod
+
+    import re
+
+    df = entry_mod.queries()["pipeline_full_v2"](spark, "/root/testdata/sf0.001")
+    plan = _formatted(spark, df)
+    doc_scans = [
+        l for l in plan.splitlines() if "Scan parquet" in l and "documents" in l
+    ]
+    assert not doc_scans, f"documents rescanned: {doc_scans}"
+    # exactly ONE scan node total: the cached projection's own build plan
+    # (same budget as pipeline_full — pass 0 must not add a second read)
+    n = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    assert n <= 1, f"{n} parquet scan nodes"
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_pipeline_full_materialize_table_plan_and_parity(spark, tmp_path):
     """materialize="table" (the 100 TB mode — r4 verdict #2): the plan must
     read the corpus exclusively through the pruned parquet LANDING table —
