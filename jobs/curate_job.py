@@ -37,6 +37,8 @@ def run_curate(
     langs: list[str] | None = None,
     checkpoint_dir: str | None = None,
     url_dedup: bool = False,
+    materialize: str = "cache",
+    landing_dir: str | None = None,
 ):
     from pyspark.sql import functions as F
 
@@ -62,11 +64,23 @@ def run_curate(
 
         documents = documents.join(url_keepers(documents), "doc_id")
 
+    if neardup != "pipeline" and (materialize != "cache" or landing_dir is not None):
+        # never a silent flag no-op: the materialization strategy only
+        # exists on the composed pipeline's shared corpus projection
+        raise ValueError(
+            "--materialize/--landing-dir apply only with --pipeline "
+            f"(got mode={'neardup' if neardup else 'exact'})"
+        )
     mq = DEFAULT_MIN_QUALITY if min_quality is None else min_quality
     ls = tuple(langs) if langs else DEFAULT_LANGS
     if neardup == "pipeline":
         kept = curate_pipeline(
-            documents, min_quality=mq, langs=ls, checkpoint_dir=checkpoint_dir
+            documents,
+            min_quality=mq,
+            langs=ls,
+            checkpoint_dir=checkpoint_dir,
+            materialize=materialize,
+            landing_dir=landing_dir,
         )
     elif neardup:
         kept = curate_neardup(
@@ -98,6 +112,14 @@ def main() -> None:
     ap.add_argument("--url-dedup", action="store_true",
                     help="pre-pass: keep one doc per canonical URL before "
                     "any content pass (requires a 'url' column)")
+    ap.add_argument("--materialize", choices=("cache", "table", "none"),
+                    default="cache",
+                    help="--pipeline corpus-projection reuse strategy: "
+                    "executor cache (default, up to cluster cache size), "
+                    "pruned parquet landing table (the 100 TB answer; "
+                    "needs --landing-dir), or per-branch re-scan")
+    ap.add_argument("--landing-dir", default=None,
+                    help="HDFS/S3 path for --materialize table")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -115,6 +137,8 @@ def main() -> None:
         langs=args.lang,
         checkpoint_dir=args.checkpoint_dir,
         url_dedup=args.url_dedup,
+        materialize=args.materialize,
+        landing_dir=args.landing_dir,
     )
     stats = kept.agg(
         F.count("*").alias("n_kept"), F.sum("n_tokens").alias("kept_tokens")

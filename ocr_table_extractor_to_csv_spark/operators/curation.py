@@ -139,7 +139,11 @@ def decontaminate(
     doc_sh = shingles(documents, n)
     prev = getattr(decontaminate, "last_eval_cache", None)
     if prev is not None:
-        prev.unpersist()
+        # best-effort: the previous frame may belong to a stopped session
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
     # persist before the count: the guard's count() action would otherwise
     # run the full eval-side explode+distinct once for the count and AGAIN
     # uncached for the join below — and the persisted result is exactly
@@ -318,8 +322,12 @@ def curate_pipeline(
       * ``"table"``: write the projection to ``landing_dir`` (required —
         HDFS/S3/Iceberg path) as parquet and read it back — a pruned,
         columnar, splittable landing table; branches re-scan IT, never the
-        raw source.  The durable path is exposed as
-        ``curate_pipeline.last_landing_path`` for ops GC after the run.
+        raw source.  Each run writes a RUN-UNIQUE subpath (uuid-suffixed,
+        same collision rule as connected_components' per-run dirs), so two
+        runs sharing a landing_dir never clobber each other's still-live
+        table; the path is exposed as ``curate_pipeline.last_landing_path``
+        and the PREVIOUS run's table is deleted on the next call (at most
+        one retained per session — callers GC sooner via the exposed path).
       * ``"none"``: no materialization — each branch re-scans the (pruned,
         pushdown-filtered) source.  Right when the source is already a
         cheap columnar table and storage is tighter than scan bandwidth.
@@ -329,11 +337,28 @@ def curate_pipeline(
     """
     from .dedup import dedup_clusters
 
-    curate_pipeline.last_landing_path = None
+    import uuid
+
+    if url_col is not None and not url_col:
+        raise ValueError("url_col must be a column name or None, got ''")
+    spark = documents.sparkSession
     prev = getattr(curate_pipeline, "last_base_cache", None)
     if prev is not None:
-        prev.unpersist()
+        # best-effort release: the previous frame may belong to an already-
+        # stopped SparkSession (fresh-session reuse of the module global)
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
         curate_pipeline.last_base_cache = None
+    prev_path = getattr(curate_pipeline, "last_landing_path", None)
+    if prev_path is not None:
+        try:
+            jp = spark._jvm.org.apache.hadoop.fs.Path(prev_path)
+            jp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jp, True)
+        except Exception:
+            pass
+        curate_pipeline.last_landing_path = None
     cols = ["doc_id", "text"] + ([url_col] if url_col else [])
     base = documents.select(*cols)
     if materialize == "cache":
@@ -342,14 +367,14 @@ def curate_pipeline(
     elif materialize == "table":
         if landing_dir is None:
             raise ValueError('materialize="table" requires landing_dir')
-        path = f"{landing_dir.rstrip('/')}/curate_base.parquet"
+        path = f"{landing_dir.rstrip('/')}/curate_base-{uuid.uuid4().hex}.parquet"
         base.write.mode("overwrite").parquet(path)
         curate_pipeline.last_landing_path = path
-        base = documents.sparkSession.read.parquet(path)
+        base = spark.read.parquet(path)
     elif materialize != "none":
         raise ValueError(f"materialize must be cache|table|none, got {materialize!r}")
 
-    if url_col is not None:
+    if url_col:
         from .weburl import url_keepers
 
         # pass 0 over the SHARED projection (no extra source scan): every

@@ -566,7 +566,11 @@ def line_dedup(
     ).select("doc_id", F.md5(F.col("chunk")).alias("chunk_key"))
     prev = getattr(line_dedup, "last_exploded_cache", None)
     if prev is not None:
-        prev.unpersist()
+        # best-effort: the previous frame may belong to a stopped session
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
         line_dedup.last_exploded_cache = None
     if persist_exploded:
         ex = ex.persist()

@@ -18,6 +18,14 @@ write inside a sink here is therefore made idempotent by partitioning on
 batch REPLACES its own partition instead of appending duplicate rows, which
 upgrades the end-to-end guarantee to exactly-once per batch id (the batch
 id is stable across replays; the standard Structured Streaming recipe).
+
+Layout migration note (same rule as ``plans/resume.py::write_batch``): a
+directory written by the pre-partitioned (append-mode) version of these
+sinks has a different directory depth and cannot be mixed — point upgraded
+streams at a FRESH output root (Spark fails loudly with "conflicting
+directory structures" otherwise), and note the exactly-once upgrade applies
+from that fresh root onward (rows a pre-upgrade replay already duplicated
+are not retro-deduplicated).
 """
 
 from __future__ import annotations

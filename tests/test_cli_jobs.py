@@ -56,6 +56,15 @@ def test_curate_job_exact_and_neardup(tmp_path, spark):
     }
     assert "bin_id" in kept3.columns and "offset_in_bin" in kept3.columns
 
+    # --materialize table (the 100 TB mode) must flow through the job and
+    # produce identical keepers from the pruned landing table
+    out4 = str(tmp_path / "pipe_table")
+    kept4 = run_curate(
+        spark, docs, out=out4, neardup="pipeline", checkpoint_dir=ckpt,
+        materialize="table", landing_dir=str(tmp_path / "landing"),
+    )
+    assert {tuple(r) for r in kept4.collect()} == {tuple(r) for r in kept3.collect()}
+
 
 def test_run_doc_cli_transformer_max_cols(tmp_path):
     """--transformer-max-cols (run.py parity, ADVICE r2): the transformers
