@@ -1167,6 +1167,74 @@ FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 """
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Bloom-prefiltered incremental exact-dedup of a 'new crawl drop'
+    against the 'seen corpus': seen = doc_id % 3 != 0; new = doc_id % 3
+    == 0, half of them (even doc_id) carrying the TEXT of their doc_id+1
+    neighbor (always a seen doc) so true dups exist by construction.
+    Statuses {'new','dup','false_positive'} are all derivable — the
+    oracle computes the identical md5 bit positions, and set-membership
+    in SQL equals the bitmap test, false positives included."""
+    from ocr_table_extractor_to_csv_spark.operators.dedup import bloom_dedup
+
+    docs = _docs(spark, sf_dir)
+    donor = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_donor")
+    )
+    seen = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .join(donor, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 2 == 0) & F.col("_donor").isNotNull(),
+                F.col("_donor"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return bloom_dedup(seen, new)
+
+
+def _oracle_bloom_dedup() -> str:
+    m, k = dedup.BLOOM_M_BITS, dedup.BLOOM_K
+
+    def pos(i: int, src: str = "fp") -> str:
+        return f"CAST('0x' || substr(md5({src} || ':{i}'), 1, 5) AS BIGINT) % {m}"
+
+    pcols = ", ".join(f"{pos(i)} AS p{i}" for i in range(k))
+    seen_pos_union = " UNION ALL ".join(
+        f"SELECT {pos(i)} AS pos FROM sfp" for i in range(k)
+    )
+    maybe = " AND ".join(f"p{i} IN (SELECT pos FROM seen_pos)" for i in range(k))
+    return f"""
+WITH seen AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+), newb AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 2 = 0 AND n.text IS NOT NULL THEN n.text
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 3 = 0
+), sfp AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM seen
+), seen_pos AS (
+  SELECT DISTINCT pos FROM ({seen_pos_union}) _u
+), nf AS (
+  SELECT doc_id, fp, {pcols}
+  FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM newb) _n
+)
+SELECT doc_id,
+       CASE WHEN NOT ({maybe}) THEN 'new'
+            WHEN fp IN (SELECT fp FROM sfp) THEN 'dup'
+            ELSE 'false_positive' END AS status
+FROM nf
+ORDER BY doc_id
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
@@ -2212,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_transformers": q_extract_transformers,
         "warc_roundtrip": q_warc_roundtrip,
         "giants_resume": q_giants_resume,
+        "bloom_dedup": q_bloom_dedup,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
@@ -2271,6 +2340,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_transformers": ORACLE_GRID4,
         "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,
         "giants_resume": ORACLE_GIANTS_RESUME,
+        "bloom_dedup": _oracle_bloom_dedup(),
         "token_count": ORACLE_TOKEN_COUNT,
         "token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
         "text_quality": ORACLE_TEXT_QUALITY,

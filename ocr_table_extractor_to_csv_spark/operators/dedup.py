@@ -505,6 +505,123 @@ def simhash_pairs(
     )
 
 
+BLOOM_M_BITS = 1 << 16  # filter width (bits); false-positive knob
+BLOOM_K = 4             # hash functions
+
+
+def _bloom_pos_sql(i: int, m: int = BLOOM_M_BITS, fp: str = "fp") -> str:
+    """The i-th bit position of a fingerprint, as a SQL expression string:
+    pos_i = int(md5(fp || ':' || i)[:5], 16) % m — 20 hex-derived bits per
+    hash, md5-based so the DuckDB oracle computes identical positions.
+    (Strings, not Column objects: the shift functions' bit-count argument
+    is expression-valued, which the Python shiftleft/shiftright API does
+    not accept.)"""
+    return (
+        f"pmod(cast(conv(substring(md5(concat({fp}, ':{i}')), 1, 5), 16, 10) "
+        f"as bigint), {m})"
+    )
+
+
+def bloom_dedup(
+    seen: DataFrame,
+    new: DataFrame,
+    m: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Incremental exact-dedup of a NEW batch against a SEEN corpus via a
+    Bloom prefilter — (doc_id, status) with status in {'new', 'dup',
+    'false_positive'}.
+
+    The production shape for "dedupe this crawl drop against everything
+    ever ingested": joining 10^9 new rows against 10^12 seen fingerprints
+    shuffles both sides, but almost all new rows are NOT dups — a Bloom
+    filter over the seen fingerprints turns those into a map-only reject.
+
+      1. SEEN pass: fingerprint (md5 of normalized text, the exact_dedup
+         spec) -> k bit positions -> bitmap words via ONE groupBy(word)
+         with map-side bit_or partials; at most m/64 rows cross the
+         shuffle and reach the driver (m is a CONFIG CONSTANT — 8 KiB at
+         the default 2^16 bits — independent of corpus size, the same
+         bounded-collect contract as the IVF trainer).
+      2. NEW pass: map-only membership test against the broadcast-literal
+         bitmap — rows with ANY unset bit are definitely 'new' and never
+         shuffle.
+      3. Only the maybe-dup remainder (all k bits set) is exactly
+         confirmed — and the SEEN corpus is never shuffled for it: the
+         tiny maybe-fingerprint set BROADCASTS into a map-only semi-join
+         over seen (which fingerprints really exist), and the resulting
+         hit list (<= maybe set) broadcasts back onto the maybe rows.
+         'dup' if the fingerprint truly exists, else 'false_positive'
+         (the Bloom trade made VISIBLE, not silently misclassified —
+         no-silent-caps rule).
+
+    Sizing: false-positive rate ~ (1 - e^(-k*n/m))^k; the default
+    (m=65536, k=4) is sized for the sf test corpora — production uses
+    m ~ 10 bits/seen-doc (e.g. 2^43 bits ~ 1 TiB distributed as an
+    Iceberg-stored bitmap, or per-partition filters).  The point the
+    operator pins is the SHAPE: constant-size broadcast, map-only reject
+    path, exact confirm only for the tiny maybe set.  Fully
+    SQL-expressible: the oracle computes identical md5 positions and uses
+    set-membership (EXISTS) semantics, which equals the bitmap test.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    seen_fp = seen.select(F.md5(norm).alias("fp"))
+    new_fp = new.select("doc_id", F.md5(norm).alias("fp"))
+
+    n_words = m // 64
+    pos_arr = F.expr(
+        "array(" + ",".join(_bloom_pos_sql(i, m) for i in range(k)) + ")"
+    )
+    seen_bits = (
+        seen_fp.select(F.explode(pos_arr).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    words = [0] * n_words
+    for r in seen_bits.collect():  # <= m/64 rows, corpus-size-independent
+        words[r.w] = r.bits
+    bitmap = "array(" + ",".join(f"{w}L" for w in words) + ")"
+
+    maybe = " AND ".join(
+        f"((shiftright(element_at(_bm, cast(({_bloom_pos_sql(i, m)}) / 64 as int) + 1), "
+        f"cast(pmod({_bloom_pos_sql(i, m)}, 64) as int)) & 1L) = 1L)"
+        for i in range(k)
+    )
+    probed = (
+        new_fp.withColumn("_bm", F.expr(bitmap))
+        .withColumn("_maybe", F.expr(maybe))
+        .drop("_bm")
+    )
+
+    maybe_rows = probed.where(F.col("_maybe"))
+    maybe_fps = maybe_rows.select("fp").distinct()
+    # seen is the probe side of a semi-join against the BROADCAST maybe
+    # set — map-only over the big corpus; distinct() bounds the hit list
+    # by the maybe set's size
+    hits = (
+        seen_fp.join(F.broadcast(maybe_fps), "fp", "left_semi")
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    confirmed = maybe_rows.join(F.broadcast(hits), "fp", "left")
+    return (
+        probed.where(~F.col("_maybe")).select("doc_id", F.lit("new").alias("status"))
+        .unionByName(
+            confirmed.select(
+                "doc_id",
+                F.when(F.col("_hit"), F.lit("dup"))
+                .otherwise(F.lit("false_positive"))
+                .alias("status"),
+            )
+        )
+        .orderBy("doc_id")
+    )
+
+
 def line_dedup(
     documents: DataFrame,
     chunk_tokens: int = 10,

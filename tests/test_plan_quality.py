@@ -327,6 +327,32 @@ def test_url_dedup_single_shuffle_no_python(spark):
     assert len(exchanges) == 3, plan[:3000]
 
 
+def test_bloom_dedup_seen_never_shuffles_for_confirm(spark):
+    """bloom_dedup's plan contract at 100 TB: the definite-'new' path is
+    map-only against the literal bitmap (no join), and BOTH confirm joins
+    broadcast the tiny maybe-set side — the seen corpus appears only as
+    the probe of broadcast joins, never as a shuffle-exchange input.  All
+    JVM-side."""
+    import re
+
+    from ocr_table_extractor_to_csv_spark.operators.dedup import bloom_dedup
+
+    seen = spark.createDataFrame(
+        [(i, f"seen doc {i} body words") for i in range(40)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100 + i, f"{'seen' if i % 2 else 'new'} doc {i} body words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _formatted(spark, bloom_dedup(seen, new))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, flags=re.M)) == 2
+    # no sort-merge / shuffled-hash join anywhere: a shuffle join here means
+    # the seen side stopped being map-only
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_line_dedup_plan_shape(spark):
     """line_dedup's two-pass shape, pinned: explode feeds a chunk-keyed
     sort-merge self-join against the countDistinct aggregate (2 exchanges
