@@ -988,6 +988,32 @@ def test_bloom_dedup_statuses_partition_new_batch(spark):
     assert statuses <= {"new", "dup", "false_positive"}
 
 
+def test_streaming_idempotent_write_replay_replaces(spark, tmp_path):
+    """The foreachBatch sink write is exactly-once per batch id: replaying
+    a batch (same stream_batch_id) REPLACES its partition — identical
+    rows, no duplicates — while other batches' rows are untouched (r4
+    advice: a plain append left replays outside the guarantee)."""
+    from pyspark.sql import functions as F
+
+    from ocr_table_extractor_to_csv_spark.streaming.incremental import (
+        _write_idempotent,
+    )
+
+    out = str(tmp_path / "sink")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").withColumn(
+        "stream_batch_id", F.lit(0)
+    )
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string").withColumn(
+        "stream_batch_id", F.lit(1)
+    )
+    _write_idempotent(b0, out)
+    _write_idempotent(b1, out)
+    # replay batch 0 (failure between write and checkpoint commit)
+    _write_idempotent(b0, out)
+    got = sorted(tuple(r) for r in spark.read.parquet(out).select("id", "v").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")], got
+
+
 def test_streaming_url_dedup_seen_set_across_restarts(spark, tmp_path):
     """The crawl seen-set: a canonical URL is emitted on FIRST sighting
     only — within a pass and across availableNow restarts (state lives in
