@@ -2121,14 +2121,7 @@ def q_corpus_diff(spark, sf_dir):
     exercised and independently derivable in SQL."""
     from ocr_table_extractor_to_csv_spark.operators.curation import corpus_diff
 
-    docs = _docs(spark, sf_dir)
-    old = docs.where(F.col("doc_id") % 10 != 0)
-    new = docs.where(F.col("doc_id") % 10 != 1).select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
-        ).otherwise(F.col("text")).alias("text"),
-    )
+    old, new = _diff_snapshots(spark, sf_dir)
     return corpus_diff(old, new)
 
 
@@ -2152,6 +2145,77 @@ WHERE (CASE WHEN old.present IS NULL THEN 'added'
             WHEN new.present IS NULL THEN 'removed'
             WHEN old.fp IS DISTINCT FROM new.fp THEN 'changed'
             ELSE 'unchanged' END) <> 'unchanged'
+ORDER BY doc_id
+"""
+
+
+def _diff_snapshots(spark, sf_dir):
+    """The shared OLD/NEW snapshot pair used by corpus_diff AND
+    curate_incremental: OLD drops doc_id%10==0, NEW drops doc_id%10==1
+    and revises the text of doc_id%7==0 — added/removed/changed/unchanged
+    all exercised, all independently derivable in SQL."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 != 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return old, new
+
+
+def q_curate_incremental(spark, sf_dir):
+    """Incremental corpus refresh over the shared OLD/NEW snapshot pair:
+    unchanged docs carry their prev verdicts ('retained'); added/changed
+    docs are Bloom-prefiltered against the unchanged corpus and curated
+    as a delta ('fresh') — O(delta) refresh, the composition of
+    corpus_diff + bloom_dedup + curate."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import (
+        curate_incremental,
+    )
+
+    old, new = _diff_snapshots(spark, sf_dir)
+    return curate_incremental(old, new)
+
+
+def _oracle_curate_incremental() -> str:
+    """The spec in SQL over the same snapshot transforms: unchanged =
+    present in both AND not revised; retained = curate(old) on unchanged;
+    candidates = delta docs whose normalized-text fp is absent from the
+    unchanged corpus (exact membership — equals the Spark side's
+    bloom-with-exact-confirm); fresh = curate(candidates)."""
+    cur_old = _oracle_curate().replace("FROM documents", "FROM old_docs").strip()
+    cur_cand = _oracle_curate().replace("FROM documents", "FROM cand_docs").strip()
+    return f"""
+WITH old_docs AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+), new_docs AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 1
+), unchanged AS (
+  SELECT o.doc_id FROM old_docs o JOIN new_docs n USING (doc_id)
+  WHERE md5(o.text) IS NOT DISTINCT FROM md5(n.text)
+), retained AS (
+  SELECT c.doc_id, c.n_tokens, c.quality_score, c.lang_pred
+  FROM ({cur_old}) c JOIN unchanged USING (doc_id)
+), unchanged_fps AS (
+  SELECT DISTINCT md5({_NORM_SQL}) AS fp
+  FROM old_docs JOIN unchanged USING (doc_id)
+), cand_docs AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM new_docs d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM unchanged)
+    AND md5({_NORM_SQL.replace("text", "d.text")})
+        NOT IN (SELECT fp FROM unchanged_fps)
+), fresh AS (
+  SELECT doc_id, n_tokens, quality_score, lang_pred FROM ({cur_cand}) _f
+)
+SELECT doc_id, n_tokens, quality_score, lang_pred, 'retained' AS origin
+FROM retained
+UNION ALL
+SELECT doc_id, n_tokens, quality_score, lang_pred, 'fresh' AS origin
+FROM fresh
 ORDER BY doc_id
 """
 
@@ -2281,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "giants_resume": q_giants_resume,
         "bloom_dedup": q_bloom_dedup,
+        "curate_incremental": q_curate_incremental,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
@@ -2341,6 +2406,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": ORACLE_WARC_ROUNDTRIP,
         "giants_resume": ORACLE_GIANTS_RESUME,
         "bloom_dedup": _oracle_bloom_dedup(),
+        "curate_incremental": _oracle_curate_incremental(),
         "token_count": ORACLE_TOKEN_COUNT,
         "token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
         "text_quality": ORACLE_TEXT_QUALITY,

@@ -972,6 +972,75 @@ def test_bloom_dedup_hand_case(spark):
     assert set(rows) == {10, 11, 12}
 
 
+def test_bloom_dedup_never_false_negative(spark):
+    """THE Bloom property: a true duplicate can NEVER be labeled 'new'
+    (false positives exist by design and are visible; false negatives
+    would silently re-ingest dups).  Randomized corpus, fixed seed."""
+    import random
+
+    from ocr_table_extractor_to_csv_spark.operators.dedup import bloom_dedup
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    seen_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 12))))
+        for i in range(60)
+    ]
+    new_rows = []
+    for j in range(40):
+        if j % 2 == 0:  # true dup: copy a seen text (maybe re-spaced)
+            t = seen_rows[rng.randrange(len(seen_rows))][1]
+            t = t.replace(" ", "  ") if j % 4 == 0 else t
+        else:
+            t = "novel " + " ".join(rng.choice(vocab) for _ in range(5)) + f" {j}"
+        new_rows.append((1000 + j, t))
+    seen = spark.createDataFrame(seen_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    rows = {r.doc_id: r.status for r in bloom_dedup(seen, new).collect()}
+    for j in range(0, 40, 2):
+        assert rows[1000 + j] == "dup", (j, rows[1000 + j])
+
+
+def test_curate_incremental_hand_case(spark):
+    """Retained/fresh semantics: unchanged docs carry prev verdicts;
+    added docs that duplicate an unchanged doc are dropped; genuinely
+    novel added docs are curated; changed docs are re-curated; and the
+    documented divergence (no keeper re-election on removal) holds."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import (
+        curate,
+        curate_incremental,
+    )
+
+    good = "this is a reasonably long document with enough tokens to pass the gate " * 3
+    old = spark.createDataFrame(
+        [
+            (1, good + "one"),    # unchanged keeper
+            (2, good + "two"),    # will be REMOVED in new
+            (3, good + "one"),    # dup of 1 (non-keeper in prev)
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, good + "one"),            # unchanged
+            (3, good + "one"),            # unchanged (still non-keeper)
+            (4, good + "one"),            # added dup of unchanged 1 -> dropped
+            (5, good + "five"),           # added novel -> fresh
+            (6, good + "two"),            # added; dups REMOVED doc 2 -> fp gone -> fresh
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in curate_incremental(old, new).collect()}
+    prev = {r.doc_id for r in curate(old).collect()}
+    assert prev == {1, 2}  # 3 lost the keeper election to 1
+    assert rows.keys() == {1, 5, 6}
+    assert rows[1].origin == "retained"
+    assert rows[5].origin == "fresh" and rows[6].origin == "fresh"
+    # divergence by spec: doc 3 stays absent (its group keeper 1 is retained);
+    # doc 4's fp exists among unchanged docs -> dropped; doc 6's twin was
+    # removed, so its fp is genuinely absent -> curated fresh
+
+
 def test_bloom_dedup_statuses_partition_new_batch(spark):
     """On real sf docs: statuses partition the new batch, every engineered
     donor-text dup is caught, and false positives (if any) are rows whose
