@@ -2220,6 +2220,61 @@ ORDER BY doc_id
 """
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge training: one corpus pass builds the bounded
+    word-frequency vocabulary; each of the 6 merges is a pair-count
+    aggregation over the vocab + a one-row argmax collect + a map-only
+    replace — the tokenizer-training artifact of a pretraining pipeline,
+    never touching the corpus again after pass 1."""
+    from ocr_table_extractor_to_csv_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir))
+
+
+def _oracle_bpe_train(n_merges: int = 6, top_words: int = 5000) -> str:
+    """The same greedy algorithm unrolled: v{i} = vocab after i merges,
+    p{i} = the i-th winning pair (count DESC, left ASC, right ASC).
+    replace() is non-overlapping left-to-right in BOTH engines — exactly
+    the greedy BPE merge order — so spaced-string rewrites are identical.
+    """
+    body = ""
+    for i in range(1, n_merges + 1):
+        body += f""",
+p{i} AS MATERIALIZED (
+  SELECT s.ts[i] AS l, s.ts[i + 1] AS r, CAST(sum(s.freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(spaced), ' ') AS ts, freq FROM v{i - 1}) s,
+       UNNEST(generate_series(1, len(s.ts) - 1)) AS u(i)
+  GROUP BY 1, 2 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT replace(spaced, ' ' || p.l || ' ' || p.r || ' ',
+                 ' ' || p.l || p.r || ' ') AS spaced, freq
+  FROM v{i - 1}, p{i} p
+)"""
+    ranks = " UNION ALL ".join(
+        f"SELECT {i} AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM p{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+WITH wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_TOKS_SQL.strip()}) AS word FROM documents) _w
+  WHERE word <> ''
+  GROUP BY word ORDER BY freq DESC, word ASC LIMIT {top_words}
+),
+v0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(
+           list_transform(generate_series(1, length(word)),
+                          i -> substr(word, i, 1)), ' ') || ' ' AS spaced,
+         freq
+  FROM wf
+){body}
+SELECT CAST(rank AS INT) AS rank, left_sym, right_sym, pair_count
+FROM ({ranks}) _m
+ORDER BY rank
+"""
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup: canonicalize cosmetically-noisy URLs (host case,
     :80, fragments, utm_* params, /index.html) and fold duplicates —
@@ -2346,6 +2401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "giants_resume": q_giants_resume,
         "bloom_dedup": q_bloom_dedup,
         "curate_incremental": q_curate_incremental,
+        "bpe_train": q_bpe_train,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
@@ -2407,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         "giants_resume": ORACLE_GIANTS_RESUME,
         "bloom_dedup": _oracle_bloom_dedup(),
         "curate_incremental": _oracle_curate_incremental(),
+        "bpe_train": _oracle_bpe_train(),
         "token_count": ORACLE_TOKEN_COUNT,
         "token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
         "text_quality": ORACLE_TEXT_QUALITY,

@@ -1,0 +1,138 @@
+"""Distributed BPE merge training — the tokenizer-training pass of a
+pretraining-data pipeline (Sennrich et al. 2016's byte-pair-encoding
+algorithm, expressed as the classic map-reduce it is).
+
+Shape (what makes this scale):
+  * the CORPUS is touched exactly once — one groupBy builds the word
+    frequency table, and everything after runs on the VOCABULARY, whose
+    size is bounded by ``top_words`` (a deterministic freq-desc/word-asc
+    cap, which is also how reference BPE trainers bound their alphabet) —
+    at 100 TB the vocab table is a few MB regardless of corpus bytes;
+  * each merge iteration is one pair-count aggregation over the vocab
+    (explode adjacent pairs weighted by word frequency, map-side partial
+    sums) + a ONE-ROW collect (the argmax pair) + a map-only merge
+    rewrite — k iterations = k small shuffles over the bounded vocab,
+    never the corpus;
+  * the merge rewrite is a literal ``replace(spaced, ' a b ', ' ab ')``
+    on a sentinel-space-delimited symbol string: both Spark and DuckDB
+    replace non-overlapping left-to-right, so the rewrite is identical
+    across engines with no fold/UDF machinery.
+
+SAME-SYMBOL-RUN VARIANT (documented divergence from reference BPE, same
+spirit as the repo's other pinned divergences): consecutive occurrences
+of a SAME-symbol pair share their delimiter space, so one replace pass
+merges only the first pair of each run — ``a a a a`` + (a,a) becomes
+``aa a a`` in one merge step, where reference BPE's in-word greedy scan
+gives ``aa aa``.  The run finishes merging on subsequent iterations
+(the pair simply wins again), so the limit vocabulary is equivalent; the
+per-iteration merge TABLE can differ from reference BPE only when a
+text contains >= 3-length runs of one character.  Pinned by test; the
+oracle implements the identical semantics, so the correctness gate is
+exact.  Pairs with distinct symbols cannot overlap and match reference
+BPE exactly.
+
+Determinism: pair selection orders by (count DESC, left ASC, right ASC);
+symbols are substrings of lowercased tokens, so the tie-break compares
+identically under Spark's and DuckDB's binary collations.
+
+Returns the merge table — the artifact a tokenizer ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens_col
+
+BPE_MERGES = 6
+BPE_TOP_WORDS = 5000
+
+
+def _spaced_col(word) -> F.Column:
+    """' c1 c2 ... cn ' — sentinel-space-delimited character symbols.
+    Built via substr over a position sequence (cross-engine exact; both
+    engines' split-on-empty behaviors differ, substr does not)."""
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, 1)
+    )
+    return F.concat(F.lit(" "), F.array_join(syms, " "), F.lit(" "))
+
+
+def word_freqs(documents: DataFrame, top_words: int = BPE_TOP_WORDS) -> DataFrame:
+    """(word, freq) — the bounded training vocabulary: ONE corpus pass,
+    deterministically capped to the ``top_words`` most frequent words
+    (freq DESC, word ASC)."""
+    return (
+        documents.select(F.explode(tokens_col(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(top_words)
+    )
+
+
+def bpe_train(
+    documents: DataFrame,
+    n_merges: int = BPE_MERGES,
+    top_words: int = BPE_TOP_WORDS,
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges over the corpus vocabulary —
+    (rank, left_sym, right_sym, pair_count) ordered by rank.
+
+    ``pair_count`` is the frequency-weighted number of adjacent
+    occurrences of the winning pair at the time it was chosen (counting
+    every occurrence within a word, as reference BPE does).
+    """
+    spark = documents.sparkSession
+    vocab = word_freqs(documents, top_words).select(
+        _spaced_col(F.col("word")).alias("spaced"), "freq"
+    )
+    # the vocab is re-read once per iteration; persist the bounded table
+    # (a few MB at any corpus size) and swap the persisted frame per merge
+    vocab = vocab.persist()
+
+    syms = F.split(F.trim(F.col("spaced")), " ")
+    n = F.size(syms)
+    pair_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(syms, 1, n - 1),
+            F.slice(syms, 2, n - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+    merges = []
+    try:
+        for rank in range(1, n_merges + 1):
+            best = (
+                vocab.select(F.explode(pair_arr).alias("p"), "freq")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break  # vocabulary fully merged (tiny corpora)
+            l, r, cnt = best[0].l, best[0].r, best[0].cnt
+            merges.append((rank, l, r, cnt))
+            # literal-column replace (never string-built SQL: symbols come
+            # from corpus text and may contain quotes)
+            nxt = vocab.select(
+                F.replace(
+                    F.col("spaced"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+                ).alias("spaced"),
+                "freq",
+            ).persist()
+            nxt.count()  # materialize before dropping the parent cache
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+
+    return spark.createDataFrame(
+        merges, "rank int, left_sym string, right_sym string, pair_count long"
+    ).orderBy("rank")

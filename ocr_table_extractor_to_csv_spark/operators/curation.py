@@ -436,9 +436,12 @@ def curate_incremental(
 
       unchanged  = docs present in BOTH snapshots with identical content
                    digest (null-safe compare, same rule as corpus_diff);
-      retained   = ``prev_keepers`` (defaults to ``curate(old)``)
-                   restricted to unchanged docs — their verdicts carry
-                   over untouched;
+      retained   = ``prev_keepers`` restricted to unchanged docs — their
+                   verdicts carry over untouched.  In production PASS the
+                   stored keepers table: the ``curate(old)`` default
+                   re-scores the whole old corpus (convenient for tests
+                   and one-shots, but it is exactly the O(corpus) work
+                   the incremental path exists to avoid);
       candidates = added/changed docs of the new snapshot whose exact-dup
                    fingerprint does NOT already exist among the unchanged
                    corpus — membership tested with :func:`dedup.bloom_dedup`

@@ -1001,6 +1001,32 @@ def test_bloom_dedup_never_false_negative(spark):
         assert rows[1000 + j] == "dup", (j, rows[1000 + j])
 
 
+def test_bpe_train_hand_case(spark):
+    """Hand-derived BPE merges: pair counts weight by corpus word
+    frequency; ties break (count DESC, left ASC, right ASC); later merges
+    see earlier merges' symbols; and the documented same-symbol-run
+    variant holds (one merge per run per iteration)."""
+    from ocr_table_extractor_to_csv_spark.operators.bpe import bpe_train
+
+    # low x3, lowest x1: iter 1 pairs (l,o)=4 ties (o,w)=4 -> 'l' < 'o'
+    # elects (l,o); iter 2: vocab is 'lo w' x3 + 'lo w e s t' -> (lo,w)=4
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, "low lowest")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in bpe_train(docs, n_merges=2).collect()]
+    assert rows[0] == (1, "l", "o", 4)
+    assert rows[1] == (2, "lo", "w", 4)
+
+    # same-symbol run, 'aaaa' x2 (freq 2): (a,a) counts every adjacency
+    # (3 x 2 = 6); ONE merge pass folds only the first pair of the run
+    # (delimiter sharing) -> vocab 'aa a a', so merge 2 is (a,a) again at
+    # count 2 — the pinned divergence from reference BPE's 'aa aa'
+    docs2 = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    m = [tuple(r) for r in bpe_train(docs2, n_merges=2).collect()]
+    assert m[0] == (1, "a", "a", 6)
+    assert m[1] == (2, "a", "a", 2)
+
+
 def test_curate_incremental_hand_case(spark):
     """Retained/fresh semantics: unchanged docs carry prev verdicts;
     added docs that duplicate an unchanged doc are dropped; genuinely
