@@ -2275,6 +2275,57 @@ ORDER BY rank
 """
 
 
+def q_token_count_trained(spark, sf_dir):
+    """Per-document token counts under the TRAINED BPE tokenizer (merges
+    learned on the same corpus, applied in rank order as a chain of
+    map-only replaces) — the number a pretraining budget actually pays,
+    closing the train -> encode -> budget loop."""
+    from ocr_table_extractor_to_csv_spark.operators.bpe import token_count_trained
+
+    return token_count_trained(_docs(spark, sf_dir))
+
+
+def _oracle_token_count_trained(n_merges: int = 6, top_words: int = 5000) -> str:
+    """The bpe_train oracle's CTE chain re-used for its p{i} merge rows,
+    then the encode: the same replace chain applied per word via scalar
+    subqueries on the single-row p{i} CTEs."""
+    train = _oracle_bpe_train(n_merges, top_words)
+    # keep everything up to the final SELECT (the WITH chain defines
+    # wf/v0/p1..pk/v1..vk); splice our encode CTEs after the last v{k}
+    head, _, _tail = train.partition("\nSELECT CAST(rank AS INT)")
+    enc = "spaced"
+    for i in range(1, n_merges + 1):
+        enc = (
+            f"replace({enc}, ' ' || (SELECT l FROM p{i}) || ' ' || "
+            f"(SELECT r FROM p{i}) || ' ', "
+            f"' ' || (SELECT l FROM p{i}) || (SELECT r FROM p{i}) || ' ')"
+        )
+    return f"""{head},
+words AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id, unnest({_TOKS_SQL.strip()}) AS word FROM documents) _w
+  WHERE word <> ''
+), encoded AS (
+  SELECT doc_id,
+         len(string_split(trim({enc}), ' ')) AS n_syms
+  FROM (
+    SELECT doc_id,
+           ' ' || array_to_string(
+             list_transform(generate_series(1, length(word)),
+                            i -> substr(word, i, 1)), ' ') || ' ' AS spaced
+    FROM words
+  ) _s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(n_syms) AS BIGINT) / count(*), 5) AS tokens_per_word
+FROM encoded
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def q_url_dedup(spark, sf_dir):
     """URL-level dedup: canonicalize cosmetically-noisy URLs (host case,
     :80, fragments, utm_* params, /index.html) and fold duplicates —
@@ -2402,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "curate_incremental": q_curate_incremental,
         "bpe_train": q_bpe_train,
+        "token_count_trained": q_token_count_trained,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "text_quality": q_text_quality,
@@ -2464,6 +2516,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_dedup": _oracle_bloom_dedup(),
         "curate_incremental": _oracle_curate_incremental(),
         "bpe_train": _oracle_bpe_train(),
+        "token_count_trained": _oracle_token_count_trained(),
         "token_count": ORACLE_TOKEN_COUNT,
         "token_count_bpe": ORACLE_TOKEN_COUNT_BPE,
         "text_quality": ORACLE_TEXT_QUALITY,

@@ -136,3 +136,59 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, pair_count long"
     ).orderBy("rank")
+
+
+def token_count_trained(
+    documents: DataFrame,
+    merges: list | None = None,
+    n_merges: int = BPE_MERGES,
+    top_words: int = BPE_TOP_WORDS,
+) -> DataFrame:
+    """Per-document token count under the TRAINED tokenizer — the number
+    a pretraining budget actually pays, vs the whitespace/regex proxies
+    in textstats — (doc_id, n_words, n_bpe_tokens, compression).
+
+    ``merges`` is a list of (left, right) pairs in rank order (e.g. from
+    :func:`bpe_train`'s output rows); when None it is trained here first.
+    Encoding applies the merges IN RANK ORDER to every word — exactly the
+    reference BPE apply rule — as a chain of k map-only literal replaces
+    over the sentinel-spaced symbol string (same engine-identical rewrite
+    as training; k is the merge count, so the whole encode is ONE
+    projection, no joins, no shuffle beyond the final per-doc count).
+    Word segmentation and the same-symbol-run variant follow bpe_train.
+
+    Scale shape: the merge table is k rows of driver state (a tokenizer
+    artifact, like the IVF centroids); the corpus pass is map-only.
+    ``compression`` = n_bpe_tokens / n_words symbols saved accounting.
+    """
+    if merges is None:
+        merges = [
+            (r.left_sym, r.right_sym)
+            for r in bpe_train(documents, n_merges, top_words).collect()
+        ]
+    toks = tokens_col(F.col("text"))
+    word = F.explode_outer(toks).alias("word")
+    ex = documents.select("doc_id", word).where(
+        F.col("word").isNotNull() & (F.col("word") != "")
+    )
+    spaced = _spaced_col(F.col("word"))
+    for l, r in merges:
+        spaced = F.replace(spaced, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    n_syms = F.size(F.split(F.trim(spaced), " "))
+    per_word = ex.select("doc_id", n_syms.alias("n_syms"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 5).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("doc_id")
+    )

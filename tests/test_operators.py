@@ -1027,6 +1027,16 @@ def test_bpe_train_hand_case(spark):
     assert m[1] == (2, "a", "a", 2)
 
 
+def test_token_count_trained_hand_case(spark):
+    """Encoding applies merges in rank order: with merges [(l,o),(lo,w)],
+    'low' collapses to ONE symbol and 'lowest' to [low,e,s,t]."""
+    from ocr_table_extractor_to_csv_spark.operators.bpe import token_count_trained
+
+    docs = spark.createDataFrame([(1, "low lowest")], "doc_id long, text string")
+    rows = [tuple(r) for r in token_count_trained(docs, merges=[("l", "o"), ("lo", "w")]).collect()]
+    assert rows == [(1, 2, 5, 2.5)]  # n_words=2, tokens 1 + 4
+
+
 def test_curate_incremental_hand_case(spark):
     """Retained/fresh semantics: unchanged docs carry prev verdicts;
     added docs that duplicate an unchanged doc are dropped; genuinely
