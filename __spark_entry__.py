@@ -886,6 +886,45 @@ FROM q GROUP BY 1
 """
 
 
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_BUDGET = 10_000
+
+
+def q_mix_plan(spark, sf_dir):
+    """Training-mix planning: per-source sampling rates hitting a token
+    budget under explicit target weights — zero-weight sources stay
+    visible at rate 0, and over-budget sources surface epochs > 1
+    (upsampling) rather than silently clamping.  At sf0.01 the weighted
+    sources genuinely need upsampling; at sf0.1 they subsample — both
+    regimes exercised by the same row."""
+    return textstats.mix_plan(
+        _docs(spark, sf_dir), budget_tokens=MIX_BUDGET, weights=MIX_WEIGHTS
+    )
+
+
+def _oracle_mix_plan() -> str:
+    w_case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items())
+    ) + " ELSE 0.0 END"
+    return f"""
+WITH t AS (
+  SELECT source, CAST(len({_TOKS_SQL}) AS INT) AS n FROM documents
+), per AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS available_tokens
+  FROM t GROUP BY source
+)
+SELECT source, available_tokens,
+       round(CAST({w_case} AS DOUBLE), 6) AS weight,
+       round(CAST({MIX_BUDGET} AS DOUBLE) * ({w_case}), 2) AS target_tokens,
+       round(least(1.0, CAST({MIX_BUDGET} AS DOUBLE) * ({w_case})
+                        / available_tokens), 6) AS sample_rate,
+       round(CAST({MIX_BUDGET} AS DOUBLE) * ({w_case})
+             / available_tokens, 6) AS epochs
+FROM per
+ORDER BY source
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: shingle overlap vs the deterministic
     doc_id % 97 == 0 stand-in eval set; eval side broadcasts."""
@@ -2464,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_topk": q_search_topk,
         "repetition_stats": q_repetition_stats,
         "source_stats": q_source_stats,
+        "mix_plan": q_mix_plan,
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
         "url_dedup": q_url_dedup,
@@ -2527,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         "search_topk": _oracle_search_topk(),
         "repetition_stats": _oracle_repetition(),
         "source_stats": ORACLE_SOURCE_STATS,
+        "mix_plan": _oracle_mix_plan(),
         "decontaminate": _oracle_decontaminate(),
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "url_dedup": ORACLE_URL_DEDUP,

@@ -325,3 +325,57 @@ def source_stats(documents: DataFrame) -> DataFrame:
         F.min("quality_score").alias("min_quality"),
         F.max("quality_score").alias("max_quality"),
     )
+
+
+def mix_plan(
+    documents: DataFrame,
+    budget_tokens: int = 1_000_000,
+    weights: dict | None = None,
+) -> DataFrame:
+    """Training-mix planning: per-source sampling rates that hit a token
+    ``budget_tokens`` under target mix ``weights`` — (source,
+    available_tokens, weight, target_tokens, sample_rate, epochs) ordered
+    by source.
+
+    ``weights`` maps source -> target fraction of the budget; None means
+    uniform over observed sources.  Sources with zero weight stay in the
+    output at rate 0 (excluded visibly, never silently dropped).
+    ``sample_rate`` = min(1, target/available) is what you pass to a
+    deterministic sampler (``sample_stratified``'s md5-u rule);
+    ``epochs`` = target/available > 1 flags UPSAMPLING (the source must
+    repeat to meet its target — a real mix-planning decision, surfaced
+    not clamped).
+
+    Scale shape: one corpus pass (integer token sums, map-side partials)
+    reduces to one row per source; the planning arithmetic runs on that
+    bounded frame (sources are human-scale — thousands at most) via a
+    broadcast of the single-row totals.  All divisions are IEEE double
+    ops in a fixed order, so the DuckDB oracle is bit-identical.
+    """
+    q = quality_columns(F.col("text"))
+    per_source = (
+        documents.select("source", q["n_tokens"].alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("available_tokens"))
+    )
+    totals = per_source.agg(F.count("*").alias("_n_sources"))
+    planned = per_source.crossJoin(F.broadcast(totals))
+    if weights is None:
+        weight = F.lit(1.0) / F.col("_n_sources")
+    else:
+        weight = F.lit(0.0)
+        for src, w in sorted(weights.items()):
+            weight = F.when(F.col("source") == src, F.lit(float(w))).otherwise(weight)
+    target = F.lit(float(budget_tokens)) * weight
+    ratio = target / F.col("available_tokens")
+    return (
+        planned.select(
+            "source",
+            "available_tokens",
+            F.round(weight, 6).alias("weight"),
+            F.round(target, 2).alias("target_tokens"),
+            F.round(F.least(F.lit(1.0), ratio), 6).alias("sample_rate"),
+            F.round(ratio, 6).alias("epochs"),
+        )
+        .orderBy("source")
+    )

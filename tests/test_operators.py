@@ -1001,6 +1001,29 @@ def test_bloom_dedup_never_false_negative(spark):
         assert rows[1000 + j] == "dup", (j, rows[1000 + j])
 
 
+def test_mix_plan_hand_case(spark):
+    """Mix planning: rates hit the budget, zero-weight sources stay
+    visible at rate 0, and over-budget targets surface epochs > 1."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import mix_plan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j", "big"),    # 10 tokens
+            (2, "a b c d e f g h i j", "big"),    # big: 20 available
+            (3, "a b c d e", "small"),            # small: 5 available
+            (4, "x y", "zero"),                   # zero-weight
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in mix_plan(
+        docs, budget_tokens=20, weights={"big": 0.5, "small": 0.5}
+    ).collect()}
+    assert set(rows) == {"big", "small", "zero"}
+    assert rows["big"].available_tokens == 20 and rows["big"].sample_rate == 0.5
+    assert rows["small"].sample_rate == 1.0 and rows["small"].epochs == 2.0  # upsample
+    assert rows["zero"].weight == 0.0 and rows["zero"].sample_rate == 0.0
+
+
 def test_bpe_train_hand_case(spark):
     """Hand-derived BPE merges: pair counts weight by corpus word
     frequency; ties break (count DESC, left ASC, right ASC); later merges
