@@ -714,6 +714,8 @@ def q_fingerprint(spark, sf_dir):
 
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# NULL-text twin (bloom/incremental spec: NULL fingerprints as empty string)
+_NORM_NN_SQL = "trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))"
 ORACLE_FINGERPRINT = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
 
 
@@ -916,10 +918,14 @@ WITH t AS (
 SELECT source, available_tokens,
        round(CAST({w_case} AS DOUBLE), 6) AS weight,
        round(CAST({MIX_BUDGET} AS DOUBLE) * ({w_case}), 2) AS target_tokens,
-       round(least(1.0, CAST({MIX_BUDGET} AS DOUBLE) * ({w_case})
-                        / available_tokens), 6) AS sample_rate,
-       round(CAST({MIX_BUDGET} AS DOUBLE) * ({w_case})
-             / available_tokens, 6) AS epochs
+       CASE WHEN available_tokens > 0
+            THEN round(least(1.0, CAST({MIX_BUDGET} AS DOUBLE) * ({w_case})
+                             / available_tokens), 6)
+            ELSE 0.0 END AS sample_rate,
+       CASE WHEN available_tokens > 0
+            THEN round(CAST({MIX_BUDGET} AS DOUBLE) * ({w_case})
+                       / available_tokens, 6)
+            ELSE NULL END AS epochs
 FROM per
 ORDER BY source
 """
@@ -1258,12 +1264,12 @@ WITH seen AS (
   FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
   WHERE d.doc_id % 3 = 0
 ), sfp AS (
-  SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM seen
+  SELECT DISTINCT md5({_NORM_NN_SQL}) AS fp FROM seen
 ), seen_pos AS (
   SELECT DISTINCT pos FROM ({seen_pos_union}) _u
 ), nf AS (
   SELECT doc_id, fp, {pcols}
-  FROM (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM newb) _n
+  FROM (SELECT doc_id, md5({_NORM_NN_SQL}) AS fp FROM newb) _n
 )
 SELECT doc_id,
        CASE WHEN NOT ({maybe}) THEN 'new'
@@ -2240,12 +2246,12 @@ WITH old_docs AS MATERIALIZED (
   SELECT c.doc_id, c.n_tokens, c.quality_score, c.lang_pred
   FROM ({cur_old}) c JOIN unchanged USING (doc_id)
 ), unchanged_fps AS (
-  SELECT DISTINCT md5({_NORM_SQL}) AS fp
+  SELECT DISTINCT md5({_NORM_NN_SQL}) AS fp
   FROM old_docs JOIN unchanged USING (doc_id)
 ), cand_docs AS MATERIALIZED (
   SELECT d.doc_id, d.text FROM new_docs d
   WHERE d.doc_id NOT IN (SELECT doc_id FROM unchanged)
-    AND md5({_NORM_SQL.replace("text", "d.text")})
+    AND md5({_NORM_NN_SQL.replace("(text", "(d.text")})
         NOT IN (SELECT fp FROM unchanged_fps)
 ), fresh AS (
   SELECT doc_id, n_tokens, quality_score, lang_pred FROM ({cur_cand}) _f
@@ -2334,10 +2340,16 @@ def _oracle_token_count_trained(n_merges: int = 6, top_words: int = 5000) -> str
     head, _, _tail = train.partition("\nSELECT CAST(rank AS INT)")
     enc = "spaced"
     for i in range(1, n_merges + 1):
+        # coalesce to a chr(0) needle: if the vocab fully merged before
+        # rank i, p{i} is EMPTY and the scalar subqueries are NULL — a
+        # bare replace would NULL-poison the whole chain; replacing a NUL
+        # (never present in spaced strings) is the identity, mirroring
+        # the Spark side's "apply only the merges actually found"
         enc = (
-            f"replace({enc}, ' ' || (SELECT l FROM p{i}) || ' ' || "
-            f"(SELECT r FROM p{i}) || ' ', "
-            f"' ' || (SELECT l FROM p{i}) || (SELECT r FROM p{i}) || ' ')"
+            f"replace({enc}, coalesce(' ' || (SELECT l FROM p{i}) || ' ' || "
+            f"(SELECT r FROM p{i}) || ' ', chr(0)), "
+            f"coalesce(' ' || (SELECT l FROM p{i}) || (SELECT r FROM p{i}) "
+            f"|| ' ', chr(0)))"
         )
     return f"""{head},
 words AS (

@@ -127,7 +127,11 @@ def bpe_train(
                 ).alias("spaced"),
                 "freq",
             ).persist()
-            nxt.count()  # materialize before dropping the parent cache
+            try:
+                nxt.count()  # materialize before dropping the parent cache
+            except Exception:
+                nxt.unpersist()  # never leak the half-built cache entry
+                raise
             vocab.unpersist()
             vocab = nxt
     finally:
@@ -146,7 +150,7 @@ def token_count_trained(
 ) -> DataFrame:
     """Per-document token count under the TRAINED tokenizer — the number
     a pretraining budget actually pays, vs the whitespace/regex proxies
-    in textstats — (doc_id, n_words, n_bpe_tokens, compression).
+    in textstats — (doc_id, n_words, n_bpe_tokens, tokens_per_word).
 
     ``merges`` is a list of (left, right) pairs in rank order (e.g. from
     :func:`bpe_train`'s output rows); when None it is trained here first.
@@ -159,7 +163,7 @@ def token_count_trained(
 
     Scale shape: the merge table is k rows of driver state (a tokenizer
     artifact, like the IVF centroids); the corpus pass is map-only.
-    ``compression`` = n_bpe_tokens / n_words symbols saved accounting.
+    ``tokens_per_word`` = n_bpe_tokens / n_words compression accounting.
     """
     if merges is None:
         merges = [

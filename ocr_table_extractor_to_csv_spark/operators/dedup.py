@@ -558,13 +558,23 @@ def bloom_dedup(
     Sizing: false-positive rate ~ (1 - e^(-k*n/m))^k; the default
     (m=65536, k=4) is sized for the sf test corpora — production uses
     m ~ 10 bits/seen-doc (e.g. 2^43 bits ~ 1 TiB distributed as an
-    Iceberg-stored bitmap, or per-partition filters).  The point the
-    operator pins is the SHAPE: constant-size broadcast, map-only reject
-    path, exact confirm only for the tiny maybe set.  Fully
-    SQL-expressible: the oracle computes identical md5 positions and uses
-    set-membership (EXISTS) semantics, which equals the bitmap test.
+    Iceberg-stored bitmap, or per-partition filters); ``m`` must be a
+    multiple of 64 (bitmap words).  The point the operator pins is the
+    SHAPE: constant-size broadcast, map-only reject path, exact confirm
+    only for the tiny maybe set.  Fully SQL-expressible: the oracle
+    computes identical md5 positions and uses set-membership (EXISTS)
+    semantics, which equals the bitmap test.
+
+    NULL text fingerprints as the empty string (coalesce before the
+    shared norm spec): a NULL-text doc gets a real status instead of a
+    NULL fingerprint that would crash the bitmap build on the seen side
+    and silently drop the doc on the new side.
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    from .textstats import norm_text_col
+
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64 (bitmap words), got {m}")
+    norm = norm_text_col(F.coalesce(F.col("text"), F.lit("")))
     seen_fp = seen.select(F.md5(norm).alias("fp"))
     new_fp = new.select("doc_id", F.md5(norm).alias("fp"))
 

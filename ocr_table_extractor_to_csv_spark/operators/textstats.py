@@ -344,7 +344,10 @@ def mix_plan(
     deterministic sampler (``sample_stratified``'s md5-u rule);
     ``epochs`` = target/available > 1 flags UPSAMPLING (the source must
     repeat to meet its target — a real mix-planning decision, surfaced
-    not clamped).
+    not clamped).  A source with ZERO available tokens (all-empty docs)
+    gets rate 0 and NULL epochs — guarded division, not an ANSI
+    divide-by-zero crash; a nonzero weight on such a source is thereby
+    visibly unmeetable (target > 0, rate 0).
 
     Scale shape: one corpus pass (integer token sums, map-side partials)
     reduces to one row per source; the planning arithmetic runs on that
@@ -358,23 +361,34 @@ def mix_plan(
         .groupBy("source")
         .agg(F.sum("n_tokens").alias("available_tokens"))
     )
-    totals = per_source.agg(F.count("*").alias("_n_sources"))
-    planned = per_source.crossJoin(F.broadcast(totals))
     if weights is None:
+        # the totals join exists only for the uniform default; explicit
+        # weights keep the plan a single aggregate
+        totals = per_source.agg(F.count("*").alias("_n_sources"))
+        planned = per_source.crossJoin(F.broadcast(totals))
         weight = F.lit(1.0) / F.col("_n_sources")
     else:
+        planned = per_source
         weight = F.lit(0.0)
         for src, w in sorted(weights.items()):
             weight = F.when(F.col("source") == src, F.lit(float(w))).otherwise(weight)
     target = F.lit(float(budget_tokens)) * weight
-    ratio = target / F.col("available_tokens")
+    ratio = F.when(
+        F.col("available_tokens") > 0, target / F.col("available_tokens")
+    )
     return (
         planned.select(
             "source",
             "available_tokens",
             F.round(weight, 6).alias("weight"),
             F.round(target, 2).alias("target_tokens"),
-            F.round(F.least(F.lit(1.0), ratio), 6).alias("sample_rate"),
+            # NB gate on available, not coalesce(least(...)): both engines'
+            # least() SKIPS nulls, so least(1.0, NULL) would be 1.0 and an
+            # empty source would silently get rate 1.0 instead of 0.0
+            F.when(
+                F.col("available_tokens") > 0,
+                F.round(F.least(F.lit(1.0), ratio), 6),
+            ).otherwise(F.lit(0.0)).alias("sample_rate"),
             F.round(ratio, 6).alias("epochs"),
         )
         .orderBy("source")

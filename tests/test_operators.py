@@ -1100,6 +1100,60 @@ def test_curate_incremental_hand_case(spark):
     # removed, so its fp is genuinely absent -> curated fresh
 
 
+def test_bloom_dedup_null_text_and_m_validation(spark):
+    """NULL text fingerprints as empty string — the seen side must not
+    crash the bitmap build and a NULL-text new doc must get a status
+    (r5 review: it used to vanish).  m not divisible by 64 raises."""
+    import pytest as _pytest
+
+    from ocr_table_extractor_to_csv_spark.operators.dedup import bloom_dedup
+
+    seen = spark.createDataFrame(
+        [(1, None), (2, "real document body here")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "real document body here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.status for r in bloom_dedup(seen, new).collect()}
+    assert set(rows) == {10, 11, 12}  # nobody vanishes
+    assert rows[10] == "dup" and rows[11] == "dup"  # NULL == '' by spec
+    assert rows[12] == "dup"
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_dedup(seen, new, m=100000)
+
+
+def test_mix_plan_zero_available_source(spark):
+    """A source whose docs are all empty must not divide-by-zero: rate 0,
+    NULL epochs — and a nonzero weight on it is visibly unmeetable."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import mix_plan
+
+    docs = spark.createDataFrame(
+        [(1, "some real tokens here", "full"), (2, "   ", "empty")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in mix_plan(
+        docs, budget_tokens=10, weights={"full": 0.5, "empty": 0.5}
+    ).collect()}
+    assert rows["empty"].sample_rate == 0.0 and rows["empty"].epochs is None
+    assert rows["empty"].target_tokens == 5.0  # unmeetable target is visible
+    assert rows["full"].sample_rate == 1.0
+
+
+def test_token_count_trained_oracle_survives_merge_exhaustion():
+    """DuckDB-only: a corpus whose vocab fully merges before n_merges must
+    NOT NULL-poison the oracle's encode chain (r5 review, confirmed bug:
+    empty p{i} scalar subqueries made the whole chain NULL)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 1::BIGINT AS doc_id, 'ab ab' AS text")
+    rows = con.sql(entry_mod._oracle_token_count_trained()).fetchall()
+    assert rows == [(1, 2, 2, 1.0)]  # 'ab' merges in 1 step; later merges no-op
+
+
 def test_bloom_dedup_statuses_partition_new_batch(spark):
     """On real sf docs: statuses partition the new batch, every engineered
     donor-text dup is caught, and false positives (if any) are rows whose
