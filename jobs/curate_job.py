@@ -39,6 +39,8 @@ def run_curate(
     url_dedup: bool = False,
     materialize: str = "cache",
     landing_dir: str | None = None,
+    incremental_old=None,
+    prev_keepers=None,
 ):
     from pyspark.sql import functions as F
 
@@ -73,6 +75,24 @@ def run_curate(
         )
     mq = DEFAULT_MIN_QUALITY if min_quality is None else min_quality
     ls = tuple(langs) if langs else DEFAULT_LANGS
+    if incremental_old is not None:
+        # O(delta) refresh: `documents` is the NEW snapshot; unchanged docs
+        # carry their previous verdicts, the delta is bloom-prefiltered and
+        # curated (operators/curation.py::curate_incremental).  Exclusive
+        # with the content-cluster modes (those are full-corpus passes).
+        if neardup:
+            raise ValueError("--incremental-old is exclusive with "
+                             "--neardup/--pipeline (full-corpus modes)")
+        from ocr_table_extractor_to_csv_spark.operators.curation import (
+            curate_incremental,
+        )
+
+        kept = curate_incremental(
+            incremental_old, documents, prev_keepers=prev_keepers,
+            min_quality=mq, langs=ls,
+        )
+        kept.write.mode("overwrite").parquet(f"{out}/keepers")
+        return spark.read.parquet(f"{out}/keepers")
     if neardup == "pipeline":
         kept = curate_pipeline(
             documents,
@@ -120,6 +140,14 @@ def main() -> None:
                     "needs --landing-dir), or per-branch re-scan")
     ap.add_argument("--landing-dir", default=None,
                     help="HDFS/S3 path for --materialize table")
+    ap.add_argument("--incremental-old", default=None,
+                    help="previous-snapshot parquet dir: O(delta) refresh — "
+                    "--documents is the NEW snapshot; exclusive with "
+                    "--neardup/--pipeline")
+    ap.add_argument("--prev-keepers", default=None,
+                    help="stored keepers parquet from the previous run "
+                    "(recommended with --incremental-old; default recurates "
+                    "the old snapshot)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -139,6 +167,13 @@ def main() -> None:
         url_dedup=args.url_dedup,
         materialize=args.materialize,
         landing_dir=args.landing_dir,
+        incremental_old=(
+            spark.read.parquet(args.incremental_old)
+            if args.incremental_old else None
+        ),
+        prev_keepers=(
+            spark.read.parquet(args.prev_keepers) if args.prev_keepers else None
+        ),
     )
     stats = kept.agg(
         F.count("*").alias("n_kept"), F.sum("n_tokens").alias("kept_tokens")
@@ -149,7 +184,12 @@ def main() -> None:
         "n_kept": stats.n_kept,
         "kept_tokens": int(stats.kept_tokens or 0),
         "keep_rate": round(stats.n_kept / max(1, n_in), 4),
-        "mode": "pipeline" if args.pipeline else ("neardup" if args.neardup else "exact"),
+        "mode": (
+            "incremental" if args.incremental_old
+            else "pipeline" if args.pipeline
+            else "neardup" if args.neardup
+            else "exact"
+        ),
         "url_dedup": args.url_dedup,
         "out": args.out,
     }))

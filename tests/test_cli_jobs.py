@@ -66,6 +66,34 @@ def test_curate_job_exact_and_neardup(tmp_path, spark):
     assert {tuple(r) for r in kept4.collect()} == {tuple(r) for r in kept3.collect()}
 
 
+def test_curate_job_incremental_mode(tmp_path, spark):
+    """--incremental-old: the job wraps curate_incremental (prev keepers
+    from the stored table) and rejects combination with the full-corpus
+    cluster modes."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from jobs.curate_job import run_curate
+    from ocr_table_extractor_to_csv_spark.operators.curation import (
+        curate,
+        curate_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 10 != 1)
+    prev = curate(old)
+    kept = run_curate(
+        spark, new, out=str(tmp_path / "inc"),
+        incremental_old=old, prev_keepers=prev,
+    )
+    want = curate_incremental(old, new, prev_keepers=prev)
+    assert {tuple(r) for r in kept.collect()} == {tuple(r) for r in want.collect()}
+    with _pytest.raises(ValueError, match="exclusive"):
+        run_curate(spark, new, out=str(tmp_path / "bad"),
+                   incremental_old=old, neardup=True)
+
+
 def test_run_doc_cli_transformer_max_cols(tmp_path):
     """--transformer-max-cols (run.py parity, ADVICE r2): the transformers
     layout's target column count must flow expected_n_cols -> max_columns ->
