@@ -2159,6 +2159,54 @@ ORDER BY doc_id
 """
 
 
+def q_line_dedup_clean(spark, sf_dir):
+    """The C4 cleaning TRANSFORM: rewrite each document with every chunk
+    that occurred earlier in the corpus removed (global-first occurrence
+    wins, ordered by (doc_id, chunk idx)); sub-chunk tails pass through.
+    The value check covers the full rebuilt text, not just counts."""
+    from ocr_table_extractor_to_csv_spark.operators.dedup import line_dedup_clean
+
+    return line_dedup_clean(_docs(spark, sf_dir))
+
+
+ORACLE_LINE_DEDUP_CLEAN = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+), c AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 10
+              THEN list_transform(
+                     generate_series(0, CAST(len(ts) // 10 AS INT) - 1),
+                     i -> array_to_string(ts[i*10+1 : i*10+10], ' '))
+              ELSE []::VARCHAR[] END AS chunks,
+         array_to_string(ts[CAST(len(ts) // 10 AS INT) * 10 + 1 : len(ts)], ' ')
+           AS tail
+  FROM t
+), ex AS (
+  SELECT doc_id,
+         UNNEST(list_transform(generate_series(1, len(chunks)),
+                i -> {{'idx': i - 1, 'chunk': chunks[i]}}), recursive := true)
+  FROM c
+), ranked AS (
+  SELECT doc_id, idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+  FROM ex
+), kept AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx)
+           AS kept_text
+  FROM ranked GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.chunks) AS INT) AS n_chunks,
+       coalesce(k.n_kept, 0) AS n_kept,
+       trim(concat_ws(' ', coalesce(k.kept_text, ''), c.tail)) AS text_clean
+FROM c LEFT JOIN kept k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot reconciliation between two deterministic views of the
     documents table: OLD drops doc_id%10==0, NEW drops doc_id%10==1 and
@@ -2520,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "url_dedup": q_url_dedup,
         "line_dedup": q_line_dedup,
+        "line_dedup_clean": q_line_dedup_clean,
         "corpus_diff": q_corpus_diff,
         "pack_sequences": q_pack_sequences,
         "curate": q_curate,
@@ -2584,6 +2633,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": ORACLE_SAMPLE_STRATIFIED,
         "url_dedup": ORACLE_URL_DEDUP,
         "line_dedup": ORACLE_LINE_DEDUP,
+        "line_dedup_clean": ORACLE_LINE_DEDUP_CLEAN,
         "corpus_diff": ORACLE_CORPUS_DIFF,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "curate": _oracle_curate(),

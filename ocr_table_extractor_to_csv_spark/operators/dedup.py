@@ -505,6 +505,91 @@ def simhash_pairs(
     )
 
 
+def line_dedup_clean(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame:
+    """The C4 cleaning TRANSFORM (line_dedup reports the signal; this
+    removes the duplication): per document, drop every text chunk that
+    already occurred earlier in the corpus — the globally FIRST occurrence
+    (ordered by (doc_id, chunk index)) survives, all later copies are cut.
+
+    Returns (doc_id, n_chunks, n_kept, text_clean) for every doc — docs
+    shorter than one chunk pass through unchanged (0 chunks, tail only).
+    ``text_clean`` is the kept chunks in original order plus the
+    sub-chunk tail, re-joined with single spaces; it lives in the
+    token-normalized space (lowercased, whitespace-collapsed — the same
+    normalization every dedup operator here shares).
+
+    Scale shape: one explode to (doc_id, idx, chunk), a row_number window
+    over md5(chunk) — the SAME 16-byte digest key as line_dedup, one
+    shuffle — then a per-doc rebuild (collect_list of the kept (idx,
+    chunk) structs, array_sort for a defined order, array_join).  The
+    winner rule (min (doc_id, idx) per chunk) is deterministic on any
+    partitioning.  Boilerplate-hot chunks skew the window key exactly
+    like line_dedup's join — AQE covers it; the rebuild groupBy keys on
+    doc_id (uniform).
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens_col(F.col("text"))
+    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
+    chunk_arr = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tail = F.array_join(
+        F.slice(toks, n_chunks * chunk_tokens + 1, F.size(toks)), " "
+    )
+    base = documents.select(
+        "doc_id", chunk_arr.alias("chunks"), tail.alias("tail")
+    )
+    ex = base.select(
+        "doc_id", "tail", F.posexplode_outer("chunks").alias("idx", "chunk")
+    )
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "idx")
+    ranked = ex.withColumn(
+        "_keep", F.col("chunk").isNull() | (F.row_number().over(w) == 1)
+    )
+    kept_arr = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("_keep") & F.col("chunk").isNotNull(),
+                F.struct(F.col("idx"), F.col("chunk")),
+            )
+        )
+    )
+    return (
+        ranked.groupBy("doc_id", "tail")
+        .agg(
+            F.sum(F.when(F.col("chunk").isNotNull(), 1).otherwise(0)).alias(
+                "n_chunks"
+            ),
+            F.sum(
+                F.when(F.col("_keep") & F.col("chunk").isNotNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+            kept_arr.alias("_kept"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("int").alias("n_chunks"),
+            F.col("n_kept").cast("int").alias("n_kept"),
+            F.trim(
+                F.concat_ws(
+                    " ",
+                    F.array_join(
+                        F.transform(F.col("_kept"), lambda s: s["chunk"]), " "
+                    ),
+                    F.col("tail"),
+                )
+            ).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 BLOOM_M_BITS = 1 << 16  # filter width (bits); false-positive knob
 BLOOM_K = 4             # hash functions
 

@@ -1196,6 +1196,30 @@ def test_streaming_idempotent_write_replay_replaces(spark, tmp_path):
     assert got == [(1, "a"), (2, "b"), (3, "c")], got
 
 
+def test_line_dedup_clean_hand_case(spark):
+    """The C4 cleaning transform: global-first occurrence survives, later
+    copies are cut; sub-chunk tails always pass through; short docs are
+    untouched."""
+    from ocr_table_extractor_to_csv_spark.operators.dedup import line_dedup_clean
+
+    shared = " ".join(f"w{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, shared + " " + uniq + " tail1 bits"),  # first owner of shared
+            (2, shared + " tail2"),                    # later copy -> cut
+            (3, "short doc"),                          # no chunks -> untouched
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in line_dedup_clean(df).collect()}
+    assert rows[1].n_chunks == 2 and rows[1].n_kept == 2
+    assert rows[1].text_clean == shared + " " + uniq + " tail1 bits"
+    assert rows[2].n_chunks == 1 and rows[2].n_kept == 0
+    assert rows[2].text_clean == "tail2"              # chunk cut, tail kept
+    assert rows[3].n_chunks == 0 and rows[3].text_clean == "short doc"
+
+
 def test_streaming_url_dedup_seen_set_across_restarts(spark, tmp_path):
     """The crawl seen-set: a canonical URL is emitted on FIRST sighting
     only — within a pass and across availableNow restarts (state lives in
