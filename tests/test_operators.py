@@ -1100,6 +1100,24 @@ def test_curate_incremental_hand_case(spark):
     # removed, so its fp is genuinely absent -> curated fresh
 
 
+def test_curate_incremental_no_delta_identity(spark):
+    """Identity property: refreshing with an UNCHANGED snapshot returns
+    exactly the previous keepers, all tagged 'retained' — zero fresh work
+    (the spec's fixed point)."""
+    from ocr_table_extractor_to_csv_spark.operators.curation import (
+        curate,
+        curate_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    prev = curate(docs)
+    out = curate_incremental(docs, docs, prev_keepers=prev).collect()
+    assert all(r.origin == "retained" for r in out)
+    assert {(r.doc_id, r.n_tokens, r.quality_score, r.lang_pred) for r in out} == {
+        tuple(r) for r in prev.collect()
+    }
+
+
 def test_bloom_dedup_null_text_and_m_validation(spark):
     """NULL text fingerprints as empty string — the seen side must not
     crash the bitmap build and a NULL-text new doc must get a status
