@@ -223,14 +223,16 @@ def scan_tokens_from_dom(
 
     page_nodes = [n for n in root.iter() if "ocr_page" in (n.get("class") or "")]
     for pi, page in enumerate(page_nodes, start=1):
-        # ONE fused pass over descendants dispatching on class (lines are
-        # still all collected BEFORE any word is resolved — a word may sit
-        # inside a line that appears later in document order); a node
-        # carrying both classes keeps both roles, exactly like the old
-        # two-pass scan.  Halves the class-attribute lookups, which
-        # profiling showed at ~6% of kernel time on token-dense docs.
+        # ONE fused pass over descendants dispatching on class.  Word
+        # geometry/text are resolved INLINE; only the word->line
+        # containment is deferred to a post-pass (a word may sit inside a
+        # line that appears later in document order, so line_boxes must be
+        # complete first) — semantics identical to the old two-pass scan
+        # (a node carrying both classes keeps both roles), but the word
+        # nodes are touched once, not collected and re-walked (r5 pass:
+        # drops the intermediate node list + second loop dispatch).
         line_boxes: List[Tuple[str, Tuple[int, int, int, int]]] = []
-        word_nodes: List[object] = []
+        page_words: List[Tuple[str, Tuple[int, int, int, int]]] = []
         li = 0
         it = page.iter()
         next(it)  # page.iter() yields the page node itself first
@@ -262,48 +264,57 @@ def scan_tokens_from_dom(
                 if lb:
                     line_boxes.append((lid, lb))
             if "ocrx_word" in cls:
-                word_nodes.append(n)
-
-        for n in word_nodes:
-            title = n.get("title", "")
-            if title and title.startswith("bbox "):
-                parts = title[5:].split(" ")
-                if (
-                    len(parts) == 4
-                    and parts[0].isdecimal()
-                    and parts[1].isdecimal()
-                    and parts[2].isdecimal()
-                    and parts[3].isdecimal()
-                ):
-                    bb = (int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3]))
+                title = n.get("title", "")
+                if title and title.startswith("bbox "):
+                    parts = title[5:].split(" ")
+                    if (
+                        len(parts) == 4
+                        and parts[0].isdecimal()
+                        and parts[1].isdecimal()
+                        and parts[2].isdecimal()
+                        and parts[3].isdecimal()
+                    ):
+                        bb = (int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3]))
+                    else:
+                        bb = parse_title_bbox(title)
                 else:
                     bb = parse_title_bbox(title)
-            else:
-                bb = parse_title_bbox(title)
-            if not bb:
-                continue
-            x1, y1, x2, y2 = bb
-            if table_bbox is not None:
-                X1, Y1, X2, Y2 = table_bbox
-                if not (x1 >= X1 and y1 >= Y1 and x2 <= X2 and y2 <= Y2):
+                if not bb:
                     continue
-            # childless fast path (the normal hOCR word shape) avoids the
-            # itertext generator; identical to the join for 0 children
-            if n.__class__ is not _Node and len(n) == 0:
-                text = (n.text or "").strip()
-            else:
-                text = "".join(n.itertext()).strip()
-            if not text:
-                continue
-            lid_hit: Optional[str] = None
-            for lid, (Lx1, Ly1, Lx2, Ly2) in line_boxes:
-                if x1 >= Lx1 and y1 >= Ly1 and x2 <= Lx2 and y2 <= Ly2:
-                    lid_hit = lid
-                    break
-            texts.append(text)
-            pages.append(pi)
-            boxes.append(bb)
-            line_ids.append(lid_hit)
+                if table_bbox is not None:
+                    X1, Y1, X2, Y2 = table_bbox
+                    if not (
+                        bb[0] >= X1 and bb[1] >= Y1 and bb[2] <= X2 and bb[3] <= Y2
+                    ):
+                        continue
+                # childless fast path (the normal hOCR word shape) avoids
+                # the itertext generator; identical to the join for 0 kids
+                if n.__class__ is not _Node and len(n) == 0:
+                    text = (n.text or "").strip()
+                else:
+                    text = "".join(n.itertext()).strip()
+                if not text:
+                    continue
+                page_words.append((text, bb))
+
+        if line_boxes:
+            for text, bb in page_words:
+                x1, y1, x2, y2 = bb
+                lid_hit: Optional[str] = None
+                for lid, (Lx1, Ly1, Lx2, Ly2) in line_boxes:
+                    if x1 >= Lx1 and y1 >= Ly1 and x2 <= Lx2 and y2 <= Ly2:
+                        lid_hit = lid
+                        break
+                texts.append(text)
+                pages.append(pi)
+                boxes.append(bb)
+                line_ids.append(lid_hit)
+        else:
+            for text, bb in page_words:
+                texts.append(text)
+                pages.append(pi)
+                boxes.append(bb)
+                line_ids.append(None)
 
     if not texts:
         return TokenArrays.empty()
