@@ -7,7 +7,9 @@ composed keep/drop decision, and writes:
 
   * ``<out>/keepers``   — the surviving (doc_id, n_tokens, quality_score,
     lang_pred) rows (exact-dup keepers by default; ``--neardup`` elects
-    keepers per MinHash-LSH cluster instead);
+    keepers per MinHash-LSH cluster instead; ``--pipeline`` appends the
+    packing columns, and ``--incremental-old`` appends an ``origin``
+    column in {'retained','fresh'} — the keepers schema varies by mode);
   * ``<out>/bucket_stats`` — per-band LSH hot-bucket drop accounting
     (no-silent-caps rule: what the MAX_BUCKET cap skipped, next to the
     results it affected) when ``--neardup`` is set;

@@ -505,6 +505,30 @@ def simhash_pairs(
     )
 
 
+def _chunk_cols(chunk_tokens: int):
+    """(chunks array, tail) column pair — the ONE chunking spec shared by
+    ``line_dedup`` and ``line_dedup_clean`` (and mirrored by both SQL
+    oracles): disjoint ``chunk_tokens``-token windows over the normalized
+    token array, leftover tokens as the tail.  The ``when`` guard is
+    load-bearing: Spark's sequence(0, n-1) with n <= 0 generates a
+    DESCENDING range ([0, -1]), not an empty array."""
+    toks = tokens_col(F.col("text"))
+    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tail = F.array_join(
+        F.slice(toks, n_chunks * chunk_tokens + 1, F.size(toks)), " "
+    )
+    return chunks, tail
+
+
 def line_dedup_clean(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     """The C4 cleaning TRANSFORM (line_dedup reports the signal; this
     removes the duplication): per document, drop every text chunk that
@@ -518,40 +542,44 @@ def line_dedup_clean(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     token-normalized space (lowercased, whitespace-collapsed — the same
     normalization every dedup operator here shares).
 
-    Scale shape: one explode to (doc_id, idx, chunk), a row_number window
-    over md5(chunk) — the SAME 16-byte digest key as line_dedup, one
-    shuffle — then a per-doc rebuild (collect_list of the kept (idx,
-    chunk) structs, array_sort for a defined order, array_join).  The
-    winner rule (min (doc_id, idx) per chunk) is deterministic on any
-    partitioning.  Boilerplate-hot chunks skew the window key exactly
-    like line_dedup's join — AQE covers it; the rebuild groupBy keys on
-    doc_id (uniform).
+    Scale shape (deliberately the line_dedup groupBy+join-back shape, NOT
+    a window): the winner per chunk digest is ``min(struct(doc_id, idx))``
+    via ONE groupBy on the 16-byte md5 key — partial min combines
+    map-side, so a boilerplate chunk shared by 10^8 docs reduces inside
+    each task instead of sorting in one window partition (window
+    partitions cannot be split; AQE's skew mitigation applies to
+    sort-merge JOINS, which is what the winner join-back is, not to
+    windows).  Chunkless docs never enter the election or the join —
+    they re-attach at the per-doc rebuild, so the degenerate NULL key
+    creates no hotspot.  The winner rule is deterministic on any
+    partitioning.
     """
-    from pyspark.sql.window import Window
-
-    toks = tokens_col(F.col("text"))
-    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
-    chunk_arr = F.when(
-        n_chunks >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    tail = F.array_join(
-        F.slice(toks, n_chunks * chunk_tokens + 1, F.size(toks)), " "
-    )
+    chunks, tail = _chunk_cols(chunk_tokens)
     base = documents.select(
-        "doc_id", chunk_arr.alias("chunks"), tail.alias("tail")
+        "doc_id", chunks.alias("chunks"), tail.alias("tail")
     )
     ex = base.select(
         "doc_id", "tail", F.posexplode_outer("chunks").alias("idx", "chunk")
     )
-    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "idx")
-    ranked = ex.withColumn(
-        "_keep", F.col("chunk").isNull() | (F.row_number().over(w) == 1)
+    chunked = ex.where(F.col("chunk").isNotNull()).withColumn(
+        "_ck", F.md5(F.col("chunk"))
+    )
+    winners = chunked.groupBy("_ck").agg(
+        F.min(F.struct("doc_id", "idx")).alias("_w")
+    )
+    marked = (
+        chunked.join(winners, "_ck")
+        .withColumn(
+            "_keep",
+            (F.col("doc_id") == F.col("_w.doc_id"))
+            & (F.col("idx") == F.col("_w.idx")),
+        )
+        .select("doc_id", "tail", "idx", "chunk", "_keep")
+    )
+    # chunkless docs (posexplode_outer's NULL row) skip the election and
+    # re-attach here so they survive with tail-only text
+    ranked = marked.unionByName(
+        ex.where(F.col("chunk").isNull()).withColumn("_keep", F.lit(True))
     )
     kept_arr = F.array_sort(
         F.collect_list(
@@ -760,19 +788,7 @@ def line_dedup(
     (spark.sql.adaptive.skewJoin.enabled, on by default); the aggregate
     side is immune (partial combine on (chunk_key, doc_id)).
     """
-    toks = tokens_col(F.col("text"))
-    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
-    chunk_arr = F.when(
-        n_chunks >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # sequence(0, n-1) with n <= 0 would generate a DESCENDING range in
-    # Spark (sequence(0,-1) = [0,-1]) — the when() guard above is load-bearing
+    chunk_arr, _tail = _chunk_cols(chunk_tokens)
     ex = documents.select(
         "doc_id", F.explode(chunk_arr).alias("chunk")
     ).select("doc_id", F.md5(F.col("chunk")).alias("chunk_key"))

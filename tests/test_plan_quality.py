@@ -353,6 +353,23 @@ def test_bloom_dedup_seen_never_shuffles_for_confirm(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_line_dedup_clean_no_window(spark):
+    """line_dedup_clean's winner election must stay the skew-safe
+    groupBy+join-back shape: NO window over the chunk digest (window
+    partitions cannot be split — a boilerplate-hot chunk would sort in
+    one task; AQE skew mitigation only covers sort-merge joins), and no
+    Python eval nodes."""
+    from ocr_table_extractor_to_csv_spark.operators.dedup import line_dedup_clean
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 5}" for j in range(25))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = _formatted(spark, line_dedup_clean(docs))
+    assert "Window" not in plan, "winner election regressed to a window"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_line_dedup_plan_shape(spark):
     """line_dedup's two-pass shape, pinned: explode feeds a chunk-keyed
     sort-merge self-join against the countDistinct aggregate (2 exchanges

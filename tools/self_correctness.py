@@ -33,21 +33,24 @@ TABLES = [
 ]
 
 
+def _norm_val(v) -> str:
+    """Recursive normalization: floats round to 6 dp at ANY nesting depth
+    (arrays/structs included), so a 1-ulp engine difference inside an
+    array<double> cannot false-RED the artifact."""
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{round(v, 6):.6f}"
+    if v is None:
+        return "NULL"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_val(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_norm_val(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
 def _norm_rows(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                vals.append("NaN" if math.isnan(v) else f"{round(v, 6):.6f}")
-            elif v is None:
-                vals.append("NULL")
-            else:
-                vals.append(str(v))
-        out.append("\x1f".join(vals))
-    return sorted(out)
+    return sorted("\x1f".join(_norm_val(r[i]) for i in order) for r in rows)
 
 
 def _value_hash(rows, colnames) -> str:
@@ -99,7 +102,9 @@ def main() -> None:
         except Exception as exc:  # never abort the sweep on one red row
             entry["err"] = f"{type(exc).__name__}: {exc}"[:300]
         report[name] = entry
-        status = "OK " if entry["hash_match"] else "RED"
+        # the printed verdict uses the SAME conjunction as n_green below
+        ok = entry["rows_match"] and entry["schema_match"] and entry["hash_match"]
+        status = "OK " if ok else "RED"
         print(f"{status} {name}: {entry['spark_rows']} rows")
 
     n_green = sum(
