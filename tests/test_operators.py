@@ -1238,6 +1238,38 @@ def test_line_dedup_clean_hand_case(spark):
     assert rows[3].n_chunks == 0 and rows[3].text_clean == "short doc"
 
 
+def test_line_dedup_clean_global_uniqueness_invariant(spark):
+    """Corpus-level invariant on real sf docs: after cleaning, every
+    chunk string survives EXACTLY once across the whole corpus (the
+    definition of the transform), counts reconcile (n_kept <= n_chunks,
+    sum(n_kept) == number of distinct chunks), and cleaned text stays in
+    the token-normalized space of the original."""
+    from collections import Counter
+
+    from ocr_table_extractor_to_csv_spark.operators.dedup import line_dedup_clean
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    rows = line_dedup_clean(docs).collect()
+
+    def chunks_of(text):
+        toks = text.split()
+        return [" ".join(toks[i : i + 10]) for i in range(0, len(toks) // 10 * 10, 10)]
+
+    orig = Counter()
+    for r in docs.select("text").collect():
+        norm = " ".join((r.text or "").lower().split())
+        orig.update(chunks_of(norm))
+
+    kept = Counter()
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_chunks
+        kept.update(chunks_of(r.text_clean)[: r.n_kept])
+    # every distinct original chunk survives exactly once, none invented
+    assert sum(r.n_kept for r in rows) == len(orig)
+    for c, n in kept.items():
+        assert n == 1 and c in orig, c[:60]
+
+
 def test_streaming_url_dedup_seen_set_across_restarts(spark, tmp_path):
     """The crawl seen-set: a canonical URL is emitted on FIRST sighting
     only — within a pass and across availableNow restarts (state lives in
