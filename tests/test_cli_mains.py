@@ -53,6 +53,75 @@ def test_extract_job_main_warc_path(tmp_path):
     assert out.exists()
 
 
+def test_eval_job_main(tmp_path):
+    """The eval CLI: reference vs predicted CSV -> JSON metrics on stdout
+    and the reference-format CSV report on disk."""
+    ref = tmp_path / "ref.csv"
+    pred = tmp_path / "pred.csv"
+    ref.write_text("Cuenta,V1\nrow1,10\nrow2,20\n")
+    pred.write_text("Cuenta,V1\nrow1,10\nrow2,25\n")
+    rep = tmp_path / "report.csv"
+    res = _run([
+        "jobs/eval_job.py", "--reference", str(ref), "--predicted", str(pred),
+        "--report", str(rep),
+    ])
+    assert res.returncode == 0, res.stderr[-2000:]
+    out = json.loads(res.stdout[res.stdout.index("{"):])
+    assert 0.0 < out["text_accuracy"] < 1.0
+    assert rep.exists() and "text_accuracy" in rep.read_text()
+
+
+def test_verify_job_main_detects_corruption(tmp_path, spark):
+    """The verify CLI: exits 0 on golden-true extracted output and
+    NONZERO (with a mismatch print) when a csv byte is corrupted — the
+    gate a production batch commit would call."""
+    from pyspark.sql import functions as F
+
+    from ocr_table_extractor_to_csv_spark.operators.extract import extract_pages
+    from ocr_table_extractor_to_csv_spark.sources.fixtures import generate_corpus
+    from tests.freeze_goldens import GIANT_TOKENS
+
+    rows = [
+        r for r in generate_corpus(giant_tokens=GIANT_TOKENS)
+        if len(r["html"]) < 100_000
+    ][:40]
+    fx = spark.createDataFrame(
+        [(r["url"], bytes(r["html"]), r["layout"], r["args"]) for r in rows],
+        "url string, html binary, layout string, args string",
+    )
+    good = tmp_path / "good"
+    extract_pages(fx, per_row_dispatch=True).write.parquet(str(good))
+    res = _run(["jobs/verify_job.py", "--extracted", str(good)])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "0 mismatches" in res.stdout
+
+    bad = tmp_path / "bad"
+    spark.read.parquet(str(good)).withColumn(
+        "csv", F.concat(F.col("csv"), F.lit(b"x"))
+    ).write.parquet(str(bad))
+    res2 = _run(["jobs/verify_job.py", "--extracted", str(bad)])
+    assert res2.returncode != 0
+    assert "mismatches" in res2.stdout
+
+
+def test_dataset_job_main_pair(tmp_path):
+    """The dataset CLI: --pair url:hocr -> JSONL examples on disk."""
+    from ocr_table_extractor_to_csv_spark.sources.fixtures import generate_fixture
+
+    hocr = tmp_path / "page.hocr"
+    hocr.write_bytes(generate_fixture("generic4", 0)["html"])
+    out = tmp_path / "ds"
+    res = _run([
+        "jobs/dataset_job.py", "--pair", f"doc://x:{hocr}", "--out", str(out),
+    ])
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [
+        json.loads(l)
+        for p in Path(out).glob("*.json") for l in p.read_text().splitlines()
+    ]
+    assert lines and "words" in lines[0] and "labels" in lines[0]
+
+
 def test_curate_job_main_exact_mode(tmp_path):
     """The curate CLI prints its one-line JSON summary and writes keepers."""
     out = tmp_path / "cur"
