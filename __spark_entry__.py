@@ -1740,6 +1740,41 @@ FROM per_bucket GROUP BY band
 """
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embeddings table —
+    the 4x storage lever for the ANN corpus; map-only, with per-vector
+    scale and reconstruction error value-checked (floor-based spec, same
+    cross-engine-exact trick as the IVF quantizer)."""
+    return similarity.quantize_embeddings(_emb(spark, sf_dir))
+
+
+ORACLE_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           / 127.0 AS scale
+  FROM embeddings
+), qd AS (
+  SELECT vec_id, embedding, scale,
+         CASE WHEN scale > 0
+              THEN list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT))
+              ELSE list_transform(embedding, x -> 0) END AS q
+  FROM s
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       q,
+       round(list_reduce(
+               list_transform(generate_series(1, len(embedding)),
+                 i -> abs(CAST(embedding[i] AS DOUBLE)
+                          - CAST(q[i] AS DOUBLE) * scale)),
+               (a, b) -> a + b) / len(embedding), 6) AS mean_abs_err
+FROM qd
+ORDER BY vec_id
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH-bucket candidates (never
     all-pairs), exact cosine >= 0.35 confirms; hot buckets capped."""
@@ -2585,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "simhash_bucket_stats": q_simhash_bucket_stats,
         "dedup_embedding": q_dedup_embedding,
+        "embedding_quantize": q_embedding_quantize,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
@@ -2650,6 +2686,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _oracle_simhash_pairs(),
         "simhash_bucket_stats": _oracle_simhash_bucket_stats(),
         "dedup_embedding": _oracle_dedup_embedding(),
+        "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "similarity_lsh": ORACLE_SIMILARITY_LSH,
         "similarity_ivf": _oracle_similarity_ivf(),

@@ -172,6 +172,64 @@ def _collect_train_sample(
     return sorted((int(r.vec_id), _quantize(r.embedding)) for r in rows)
 
 
+def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
+    """Symmetric per-vector int quantization for embedding STORAGE — the
+    4x (int8) table-size lever at 100 TB, where the embedding column
+    dominates bytes and ANN candidate generation tolerates quantization
+    noise (exact re-rank fetches the few float vectors that matter).
+
+    Per vector: ``scale = max(|x|) / (2^(bits-1) - 1)``;
+    ``q_i = floor(x_i / scale + 0.5)`` (floor, not round-half-even: floor
+    is IEEE-identical in Spark and DuckDB, so the oracle is bit-exact —
+    the same trick as the IVF quantizer spec above).  All-zero vectors
+    get scale 0 and all-zero codes (guarded division).  Returns
+    (vec_id, scale, q, mean_abs_err) — ``mean_abs_err`` is the
+    reconstruction error |x - q*scale| averaged with a left-to-right
+    fold (defined order, cross-engine exact), the per-vector quality
+    number to monitor when picking ``bits``.
+
+    Map-only: one projection, no shuffle, no Python — pure column
+    expressions over the array.
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    ab = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(ab) / F.lit(qmax)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    err_sum = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q"),
+            lambda x, qi: F.abs(x.cast("double") - qi.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return (
+        embeddings.select("vec_id", "embedding", scale.alias("scale"))
+        .withColumn("q", q)
+        # err is materialized BEFORE the output projection: Spark 3.4+
+        # lateral column aliases resolve a later expression's col("scale")
+        # to the ROUNDED alias earlier in the same select list, silently
+        # shifting the reconstruction error in the 4th decimal (caught by
+        # the oracle; a real cross-engine divergence class)
+        .withColumn(
+            "mean_abs_err", F.round(err_sum / F.size(F.col("embedding")), 6)
+        )
+        .select(
+            "vec_id", F.round("scale", 6).alias("scale"), "q", "mean_abs_err"
+        )
+        .orderBy("vec_id")
+    )
+
+
 IVF_MAX_TRAIN = 1024  # 64x the default n_centroids; absolute, not proportional
 
 
