@@ -1001,6 +1001,27 @@ def test_bloom_dedup_never_false_negative(spark):
         assert rows[1000 + j] == "dup", (j, rows[1000 + j])
 
 
+def test_embedding_quantize_hand_case(spark):
+    """Exact int8 codes on a hand vector, zero-vector guard (scale 0, all
+    zero codes, zero error — not a divide-by-zero), and reconstruction
+    error bounded by scale/2 per element."""
+    from ocr_table_extractor_to_csv_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    r1 = rows[1]
+    assert abs(r1.scale - 1.0 / 127) < 1e-9
+    assert list(r1.q) == [127, -63, 32, 0]  # floor(x/scale + 0.5)
+    assert r1.mean_abs_err <= r1.scale / 2 + 1e-9
+    r2 = rows[2]
+    assert r2.scale == 0.0 and list(r2.q) == [0, 0, 0, 0] and r2.mean_abs_err == 0.0
+
+
 def test_mix_plan_hand_case(spark):
     """Mix planning: rates hit the budget, zero-weight sources stay
     visible at rate 0, and over-budget targets surface epochs > 1."""
