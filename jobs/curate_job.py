@@ -43,6 +43,7 @@ def run_curate(
     landing_dir: str | None = None,
     incremental_old=None,
     prev_keepers=None,
+    clean_chunks: int | None = None,
 ):
     from pyspark.sql import functions as F
 
@@ -68,12 +69,26 @@ def run_curate(
 
         documents = documents.join(url_keepers(documents), "doc_id")
 
+    # mode exclusivity FIRST, so an invalid flag combo reports the mode
+    # the user actually asked for (r5 advice: an incremental invocation
+    # with --materialize used to get an error naming 'neardup'/'exact')
+    if incremental_old is not None and neardup:
+        raise ValueError("--incremental-old is exclusive with "
+                         "--neardup/--pipeline (full-corpus modes)")
+    if neardup != "pipeline" and clean_chunks is not None:
+        raise ValueError("--clean-chunks applies only with --pipeline "
+                         "(the C4 cleaning pass is a pipeline stage)")
     if neardup != "pipeline" and (materialize != "cache" or landing_dir is not None):
         # never a silent flag no-op: the materialization strategy only
         # exists on the composed pipeline's shared corpus projection
+        mode = (
+            "incremental"
+            if incremental_old is not None
+            else ("neardup" if neardup else "exact")
+        )
         raise ValueError(
             "--materialize/--landing-dir apply only with --pipeline "
-            f"(got mode={'neardup' if neardup else 'exact'})"
+            f"(got mode={mode})"
         )
     mq = DEFAULT_MIN_QUALITY if min_quality is None else min_quality
     ls = tuple(langs) if langs else DEFAULT_LANGS
@@ -82,9 +97,6 @@ def run_curate(
         # carry their previous verdicts, the delta is bloom-prefiltered and
         # curated (operators/curation.py::curate_incremental).  Exclusive
         # with the content-cluster modes (those are full-corpus passes).
-        if neardup:
-            raise ValueError("--incremental-old is exclusive with "
-                             "--neardup/--pipeline (full-corpus modes)")
         from ocr_table_extractor_to_csv_spark.operators.curation import (
             curate_incremental,
         )
@@ -103,6 +115,7 @@ def run_curate(
             checkpoint_dir=checkpoint_dir,
             materialize=materialize,
             landing_dir=landing_dir,
+            clean_chunks=clean_chunks,
         )
     elif neardup:
         kept = curate_neardup(
@@ -142,6 +155,10 @@ def main() -> None:
                     "needs --landing-dir), or per-branch re-scan")
     ap.add_argument("--landing-dir", default=None,
                     help="HDFS/S3 path for --materialize table")
+    ap.add_argument("--clean-chunks", type=int, default=None,
+                    help="--pipeline only: insert the C4 line-dedup "
+                    "cleaning transform as pass 1 with this chunk size "
+                    "in tokens (downstream stages see cleaned text)")
     ap.add_argument("--incremental-old", default=None,
                     help="previous-snapshot parquet dir: O(delta) refresh — "
                     "--documents is the NEW snapshot; exclusive with "
@@ -176,6 +193,7 @@ def main() -> None:
         prev_keepers=(
             spark.read.parquet(args.prev_keepers) if args.prev_keepers else None
         ),
+        clean_chunks=args.clean_chunks,
     )
     stats = kept.agg(
         F.count("*").alias("n_kept"), F.sum("n_tokens").alias("kept_tokens")

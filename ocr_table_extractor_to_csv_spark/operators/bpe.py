@@ -13,23 +13,21 @@ Shape (what makes this scale):
     sums) + a ONE-ROW collect (the argmax pair) + a map-only merge
     rewrite — k iterations = k small shuffles over the bounded vocab,
     never the corpus;
-  * the merge rewrite is a literal ``replace(spaced, ' a b ', ' ab ')``
-    on a sentinel-space-delimited symbol string: both Spark and DuckDB
-    replace non-overlapping left-to-right, so the rewrite is identical
-    across engines with no fold/UDF machinery.
-
-SAME-SYMBOL-RUN VARIANT (documented divergence from reference BPE, same
-spirit as the repo's other pinned divergences): consecutive occurrences
-of a SAME-symbol pair share their delimiter space, so one replace pass
-merges only the first pair of each run — ``a a a a`` + (a,a) becomes
-``aa a a`` in one merge step, where reference BPE's in-word greedy scan
-gives ``aa aa``.  The run finishes merging on subsequent iterations
-(the pair simply wins again), so the limit vocabulary is equivalent; the
-per-iteration merge TABLE can differ from reference BPE only when a
-text contains >= 3-length runs of one character.  Pinned by test; the
-oracle implements the identical semantics, so the correctness gate is
-exact.  Pairs with distinct symbols cannot overlap and match reference
-BPE exactly.
+  * the merge rewrite is a literal ``replace`` over a DOUBLE-space
+    delimited symbol string: symbols are framed as ``'  s1  s2  ...  '``
+    and the pair (l, r) rewrites ``' l  r '`` -> ``' lr '``.  Each match
+    consumes only the INNER half of the two-space delimiters on its
+    flanks, so consecutive occurrences of the winning pair never share
+    consumed characters: one left-to-right non-overlapping replace pass
+    merges ``a a a a`` to ``aa aa`` and ``a b a b`` to ``ab ab`` —
+    EXACTLY reference BPE's greedy in-word merge scan, including the
+    odd-run tail position (``a x5`` -> ``aa aa a``).  Both Spark and
+    DuckDB replace non-overlapping left-to-right, so the rewrite is
+    identical across engines with no fold/UDF machinery.  (r5 shipped a
+    single-space variant whose shared delimiters merged only the first
+    pair of each immediately-repeated occurrence — a documented
+    divergence from reference BPE; the double-space framing closes it
+    at zero extra cost, still one replace per merge rank.)
 
 Determinism: pair selection orders by (count DESC, left ASC, right ASC);
 symbols are substrings of lowercased tokens, so the tie-break compares
@@ -50,13 +48,16 @@ BPE_TOP_WORDS = 5000
 
 
 def _spaced_col(word) -> F.Column:
-    """' c1 c2 ... cn ' — sentinel-space-delimited character symbols.
-    Built via substr over a position sequence (cross-engine exact; both
-    engines' split-on-empty behaviors differ, substr does not)."""
+    """'  c1  c2  ...  cn  ' — DOUBLE-space-delimited character symbols
+    (see module docstring: double delimiters make one replace pass equal
+    reference BPE's greedy merge scan).  Built via substr over a position
+    sequence (cross-engine exact; both engines' split-on-empty behaviors
+    differ, substr does not).  Symbols never contain spaces (words come
+    from whitespace tokenization), so '  ' occurs only at boundaries."""
     syms = F.transform(
         F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, 1)
     )
-    return F.concat(F.lit(" "), F.array_join(syms, " "), F.lit(" "))
+    return F.concat(F.lit("  "), F.array_join(syms, "  "), F.lit("  "))
 
 
 def word_freqs(documents: DataFrame, top_words: int = BPE_TOP_WORDS) -> DataFrame:
@@ -93,7 +94,7 @@ def bpe_train(
     # (a few MB at any corpus size) and swap the persisted frame per merge
     vocab = vocab.persist()
 
-    syms = F.split(F.trim(F.col("spaced")), " ")
+    syms = F.split(F.trim(F.col("spaced")), "  ")
     n = F.size(syms)
     pair_arr = F.when(
         n >= 2,
@@ -123,7 +124,7 @@ def bpe_train(
             # from corpus text and may contain quotes)
             nxt = vocab.select(
                 F.replace(
-                    F.col("spaced"), F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+                    F.col("spaced"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
                 ).alias("spaced"),
                 "freq",
             ).persist()
@@ -159,7 +160,8 @@ def token_count_trained(
     over the sentinel-spaced symbol string (same engine-identical rewrite
     as training; k is the merge count, so the whole encode is ONE
     projection, no joins, no shuffle beyond the final per-doc count).
-    Word segmentation and the same-symbol-run variant follow bpe_train.
+    Word segmentation and the double-space merge framing follow
+    bpe_train, so encoding matches reference BPE's greedy apply scan.
 
     Scale shape: the merge table is k rows of driver state (a tokenizer
     artifact, like the IVF centroids); the corpus pass is map-only.
@@ -177,8 +179,8 @@ def token_count_trained(
     )
     spaced = _spaced_col(F.col("word"))
     for l, r in merges:
-        spaced = F.replace(spaced, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
-    n_syms = F.size(F.split(F.trim(spaced), " "))
+        spaced = F.replace(spaced, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    n_syms = F.size(F.split(F.trim(spaced), "  "))
     per_word = ex.select("doc_id", n_syms.alias("n_syms"))
     return (
         per_word.groupBy("doc_id")

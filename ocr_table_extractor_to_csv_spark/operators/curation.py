@@ -5,8 +5,8 @@ keeper election — plus token accounting for budget planning.
 All scoring columns come from the SAME single-spec builders the standalone
 operators use (textstats.quality_columns / lang_pred_col / norm_text_col),
 computed in ONE select over one scan of ``documents``; keeper election is a
-min-over-fingerprint window — the single shuffle.  Per-doc scoring is
-embarrassingly parallel; the plan is scan -> project -> window -> filter
+groupBy(fp).min(doc_id) + join-back on doc_id.  Per-doc scoring is
+embarrassingly parallel; the plan is scan -> project -> agg -> join -> filter
 (JVM-only, plan-checked in tests).
 """
 
@@ -29,7 +29,15 @@ def curate(
 ) -> DataFrame:
     """(doc_id, n_tokens, quality_score, lang_pred) for documents that are
     (a) predicted in ``langs``, (b) >= ``min_quality``, and (c) their exact-
-    dup group's keeper (min doc_id per normalized-text fingerprint)."""
+    dup group's keeper (min doc_id per normalized-text fingerprint).
+
+    Keeper election is groupBy(fp).min(doc_id) + an inner join-back on
+    doc_id — NOT ``min() OVER (PARTITION BY fp)``: a viral boilerplate or
+    empty-text fingerprint is a hot key, and a window puts every copy of
+    it in ONE unsplittable task, while the groupBy gets map-side partial
+    aggregation and the join-back lands on doc_id (unique, skew-free) —
+    identical semantics, incl. NULL fps grouping together (r5 verdict
+    #2; the same shape ``line_dedup_clean`` pioneered)."""
     q = quality_columns(F.col("text"))
     scored = documents.select(
         "doc_id",
@@ -38,12 +46,13 @@ def curate(
         lang_pred_col(F.col("text")).alias("lang_pred"),
         F.md5(norm_text_col(F.col("text"))).alias("fp"),
     )
-    w = Window.partitionBy("fp")
+    keeper_ids = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
     return (
-        scored.withColumn("_keeper", F.min("doc_id").over(w) == F.col("doc_id"))
+        scored.join(keeper_ids, "doc_id")
         .where(
-            F.col("_keeper")
-            & (F.col("quality_score") >= F.lit(min_quality))
+            (F.col("quality_score") >= F.lit(min_quality))
             & F.col("lang_pred").isin(list(langs))
         )
         .select("doc_id", "n_tokens", "quality_score", "lang_pred")
@@ -276,6 +285,7 @@ def curate_pipeline(
     materialize: str = "cache",
     landing_dir: str | None = None,
     url_col: str | None = None,
+    clean_chunks: int | None = None,
 ) -> DataFrame:
     """The END-TO-END curation decision, composed from the standalone
     operators with NO recomputation of the corpus scan: a document lands in
@@ -294,6 +304,18 @@ def curate_pipeline(
     slice, near-dup components, keeper min-ids) are computed over the
     URL-deduped corpus, exactly as a staged production pipeline would run
     them — a URL-dropped doc can neither win nor veto a content cluster.
+
+    ``clean_chunks`` (r5 verdict #6) inserts the C4 line-dedup CLEANING
+    pass (``dedup.line_dedup_clean``, chunk size = ``clean_chunks``
+    tokens) as sequential pass 1, right after URL dedup: every downstream
+    stage — lang/quality gates, eval-set slice, shingles, MinHash
+    signatures, CC labels, token counts, packing — runs over the CLEANED
+    text (duplicate chunks cut, first global occurrence kept), exactly as
+    a staged corpus build would.  ``n_tokens`` in the output is therefore
+    the post-clean count — the number you actually train on.  The cleaned
+    projection is materialized with the same ``materialize`` strategy as
+    the base projection (it is what every branch re-reads; recomputing
+    the global chunk election per branch would triple its shuffles).
 
     and the survivors are then ``pack_sequences``-packed into token bins
     (shard = doc_id % n_shards over SURVIVORS, contiguous fill in doc_id
@@ -334,6 +356,16 @@ def curate_pipeline(
 
     All three modes are value-identical (tested); only the physical reuse
     strategy differs.
+
+    Lifecycle contract (r5 advice): the previous call's cache/table is
+    released/deleted at the START of the next call, so a ``"table"``-mode
+    result must be FULLY materialized (collected or written out) before
+    any subsequent ``curate_pipeline`` call in the same session — a
+    still-lazy plan from run N reads parquet that run N+1 deletes.  The
+    function-attribute slots are process-global and not thread-safe;
+    concurrent pipelines belong in separate jobs (the production shape
+    anyway).  Callers wanting earlier GC use the exposed
+    ``last_landing_path`` / ``last_clean_landing_path`` themselves.
     """
     from .dedup import dedup_clusters
 
@@ -342,37 +374,44 @@ def curate_pipeline(
     if url_col is not None and not url_col:
         raise ValueError("url_col must be a column name or None, got ''")
     spark = documents.sparkSession
-    prev = getattr(curate_pipeline, "last_base_cache", None)
-    if prev is not None:
-        # best-effort release: the previous frame may belong to an already-
-        # stopped SparkSession (fresh-session reuse of the module global)
-        try:
-            prev.unpersist()
-        except Exception:
-            pass
-        curate_pipeline.last_base_cache = None
-    prev_path = getattr(curate_pipeline, "last_landing_path", None)
-    if prev_path is not None:
-        try:
-            jp = spark._jvm.org.apache.hadoop.fs.Path(prev_path)
-            jp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jp, True)
-        except Exception:
-            pass
-        curate_pipeline.last_landing_path = None
-    cols = ["doc_id", "text"] + ([url_col] if url_col else [])
-    base = documents.select(*cols)
-    if materialize == "cache":
-        base = base.persist()
-        curate_pipeline.last_base_cache = base
-    elif materialize == "table":
-        if landing_dir is None:
-            raise ValueError('materialize="table" requires landing_dir')
-        path = f"{landing_dir.rstrip('/')}/curate_base-{uuid.uuid4().hex}.parquet"
-        base.write.mode("overwrite").parquet(path)
-        curate_pipeline.last_landing_path = path
-        base = spark.read.parquet(path)
-    elif materialize != "none":
+    for cache_attr in ("last_base_cache", "last_clean_cache"):
+        prev = getattr(curate_pipeline, cache_attr, None)
+        if prev is not None:
+            # best-effort release: the previous frame may belong to an
+            # already-stopped SparkSession (fresh-session module global)
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+            setattr(curate_pipeline, cache_attr, None)
+    for path_attr in ("last_landing_path", "last_clean_landing_path"):
+        prev_path = getattr(curate_pipeline, path_attr, None)
+        if prev_path is not None:
+            try:
+                jp = spark._jvm.org.apache.hadoop.fs.Path(prev_path)
+                jp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jp, True)
+            except Exception:
+                pass
+            setattr(curate_pipeline, path_attr, None)
+    if materialize == "table" and landing_dir is None:
+        raise ValueError('materialize="table" requires landing_dir')
+    if materialize not in ("cache", "table", "none"):
         raise ValueError(f"materialize must be cache|table|none, got {materialize!r}")
+
+    def _mat(df: DataFrame, cache_attr: str, path_attr: str, tag: str) -> DataFrame:
+        if materialize == "cache":
+            df = df.persist()
+            setattr(curate_pipeline, cache_attr, df)
+        elif materialize == "table":
+            path = f"{landing_dir.rstrip('/')}/{tag}-{uuid.uuid4().hex}.parquet"
+            df.write.mode("overwrite").parquet(path)
+            setattr(curate_pipeline, path_attr, path)
+            df = spark.read.parquet(path)
+        return df
+
+    cols = ["doc_id", "text"] + ([url_col] if url_col else [])
+    base = _mat(documents.select(*cols), "last_base_cache", "last_landing_path",
+                "curate_base")
 
     if url_col:
         from .weburl import url_keepers
@@ -381,6 +420,19 @@ def curate_pipeline(
         # downstream branch derives from the URL-deduped corpus
         keep0 = url_keepers(base.select("doc_id", url_col), url_col=url_col)
         base = base.join(keep0, "doc_id").select("doc_id", "text")
+
+    if clean_chunks is not None:
+        from .dedup import line_dedup_clean
+
+        # pass 1: C4 chunk cleaning, sequential — downstream stages see
+        # only the cleaned text.  Materialized like the base projection:
+        # the global chunk election (one groupBy + join-back) must run
+        # ONCE, not once per downstream branch.
+        cleaned = line_dedup_clean(
+            base.select("doc_id", "text"), chunk_tokens=clean_chunks
+        ).select("doc_id", F.col("text_clean").alias("text"))
+        base = _mat(cleaned, "last_clean_cache", "last_clean_landing_path",
+                    "curate_clean")
 
     q = quality_columns(F.col("text"))
     scored = base.select(

@@ -230,6 +230,37 @@ def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     )
 
 
+def _q8_norm_frame(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, q8: array<long>, n8: double) — the int8 symmetric codes of
+    ``quantize_embeddings`` (same spec: scale = max|x|/127 FULL precision,
+    code = floor(x/scale + 0.5)) plus the code-vector norm, for cosine
+    scoring in quantized space.  Zero vectors are dropped (scale 0 -> no
+    codes; they can't be cosine neighbors anyway), so n8 > 0 always holds:
+    a nonzero vector has at least one code at +/-127.  Map-only; every
+    arithmetic step (max, one division, floor, BIGINT squares) is
+    cross-engine exact, so a DuckDB oracle lands on identical codes."""
+    ab = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(ab) / F.lit(127.0)
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("_sc") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    n8 = F.sqrt(
+        F.aggregate(
+            F.col("q8"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).cast("double")
+    )
+    return (
+        embeddings.select("vec_id", "embedding", scale.alias("_sc"))
+        .where(F.col("_sc") > 0)
+        .withColumn("q8", codes)
+        .withColumn("n8", n8)
+        .select("vec_id", "q8", "n8")
+    )
+
+
 IVF_MAX_TRAIN = 1024  # 64x the default n_centroids; absolute, not proportional
 
 
@@ -295,6 +326,7 @@ def ivf_topk(
     n_iter: int = IVF_TRAIN_ITERS,
     sample_mod: int = IVF_SAMPLE_MOD,
     max_train: int = IVF_MAX_TRAIN,
+    refine_q8: int | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: TRAINED coarse quantizer -> inverted lists -> probe +
     exact re-rank.
@@ -316,6 +348,18 @@ def ivf_topk(
     Fully SQL-expressible (the oracle re-runs the same integer Lloyd
     unrolled), making this the third, cross-checked ANN path next to brute
     force (oracle) and multi-table LSH (scale alternative).
+
+    ``refine_q8`` (the ``quantize_embeddings`` payoff, r5 verdict #7):
+    when set, the probed candidates are FIRST scored with the int8
+    symmetric codes — approx_cos = <q8_q, q8_c> / (|q8_q| |q8_c|); the
+    per-vector scales cancel out of the cosine, so no dequantization —
+    and only the top ``k * refine_q8`` per query are re-ranked with the
+    float vectors.  At 10^9 vectors this is the storage-tier win: the
+    candidate pass reads the int8 column (4x fewer bytes than float32),
+    the int dot is exact BIGINT (cross-engine bit-exact, so the oracle
+    replays the same shortlist), and the float column is fetched for only
+    k*refine rows per query.  Recall loss vs float candidates is ~0 when
+    refine covers the quantization-noise rank jitter (see BENCH.md).
     """
     from pyspark.sql.window import Window
 
@@ -377,6 +421,44 @@ def ivf_topk(
         .select("query_id", "vec_id")
         .distinct()
     )
+    if refine_q8 is not None:
+        # int8 shortlist: score candidates on the 4x-smaller code column,
+        # keep k*refine_q8 per query for the float re-rank.  Scales cancel
+        # in the cosine; the dot is exact BIGINT so the cutoff is
+        # deterministic and oracle-replayable.  The per-query window is
+        # bounded by the probed-list size (not a data-skewed corpus key).
+        q8n = _q8_norm_frame(embeddings)
+        qq8 = F.broadcast(
+            q8n.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("q8").alias("q8_q"),
+                F.col("n8").alias("n8_q"),
+            )
+        )
+        int8_dot = F.aggregate(
+            F.zip_with(F.col("q8_q"), F.col("q8"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        approx = (
+            cand.join(q8n, "vec_id")
+            .join(qq8, "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                (int8_dot.cast("double") / (F.col("n8_q") * F.col("n8"))).alias(
+                    "_qcos"
+                ),
+            )
+        )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc("_qcos"), F.asc("vec_id")
+        )
+        cand = (
+            approx.withColumn("_r", F.row_number().over(ws))
+            .where(F.col("_r") <= k * refine_q8)
+            .select("query_id", "vec_id")
+        )
     qvec = F.broadcast(q)
     sim = (
         cand.join(base, "vec_id")
@@ -429,16 +511,18 @@ def cosine_dup_pairs(
     confirms.  Never all-pairs — the same banded candidate join as
     ``lsh_topk`` — and buckets with > ``max_bucket`` members are skipped per
     band (hot-bucket guard, same rationale as dedup.minhash_lsh_pairs: an
-    M-member bucket emits M(M-1)/2 pairs).  Missed duplicates are the LSH
-    recall tradeoff; raise n_tables to trade compute for recall."""
-    from pyspark.sql.window import Window
-
+    M-member bucket emits M(M-1)/2 pairs; the cap count is groupBy +
+    join-back, not a window over the hot bucket key — see
+    minhash_lsh_pairs for the skew rationale).  Missed duplicates are the
+    LSH recall tradeoff; raise n_tables to trade compute for recall."""
     bands = lsh_bands_multi(embeddings, n_planes, n_tables, dim)
-    bands = (
-        bands.withColumn("_bsz", F.count("*").over(Window.partitionBy("table", "bucket")))
+    small_buckets = (
+        bands.groupBy("table", "bucket")
+        .agg(F.count("*").alias("_bsz"))
         .where(F.col("_bsz") <= max_bucket)
         .drop("_bsz")
     )
+    bands = bands.join(small_buckets, ["table", "bucket"])
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (

@@ -339,7 +339,11 @@ def mix_plan(
 
     ``weights`` maps source -> target fraction of the budget; None means
     uniform over observed sources.  Sources with zero weight stay in the
-    output at rate 0 (excluded visibly, never silently dropped).
+    output at rate 0 (excluded visibly, never silently dropped), and a
+    WEIGHTED source with no corpus rows surfaces too (full-outer join of
+    the weight keys against observed sources: available_tokens 0, rate 0,
+    a visibly unmeetable target — r5 advice: its budget slice must never
+    vanish silently).
     ``sample_rate`` = min(1, target/available) is what you pass to a
     deterministic sampler (``sample_stratified``'s md5-u rule);
     ``epochs`` = target/available > 1 flags UPSAMPLING (the source must
@@ -368,7 +372,18 @@ def mix_plan(
         planned = per_source.crossJoin(F.broadcast(totals))
         weight = F.lit(1.0) / F.col("_n_sources")
     else:
-        planned = per_source
+        # weight keys outer-joined so absent-but-weighted sources surface
+        # with available_tokens 0; both sides are bounded (one row per
+        # source / per weight key), so the full-outer shuffle is trivial
+        wkeys = documents.sparkSession.createDataFrame(
+            [(str(s),) for s in sorted(weights)], "source string"
+        )
+        planned = per_source.join(wkeys, "source", "full_outer").select(
+            "source",
+            F.coalesce(F.col("available_tokens"), F.lit(0).cast("long")).alias(
+                "available_tokens"
+            ),
+        )
         weight = F.lit(0.0)
         for src, w in sorted(weights.items()):
             weight = F.when(F.col("source") == src, F.lit(float(w))).otherwise(weight)

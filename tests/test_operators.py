@@ -1037,19 +1037,25 @@ def test_mix_plan_hand_case(spark):
         "doc_id long, text string, source string",
     )
     rows = {r.source: r for r in mix_plan(
-        docs, budget_tokens=20, weights={"big": 0.5, "small": 0.5}
+        docs, budget_tokens=20, weights={"big": 0.5, "small": 0.4, "ghost": 0.1}
     ).collect()}
-    assert set(rows) == {"big", "small", "zero"}
+    assert set(rows) == {"big", "small", "zero", "ghost"}
     assert rows["big"].available_tokens == 20 and rows["big"].sample_rate == 0.5
-    assert rows["small"].sample_rate == 1.0 and rows["small"].epochs == 2.0  # upsample
+    assert rows["small"].sample_rate == 1.0 and rows["small"].epochs == 1.6  # upsample
     assert rows["zero"].weight == 0.0 and rows["zero"].sample_rate == 0.0
+    # weighted-but-absent source surfaces (r5 advice): its budget slice is
+    # a visibly unmeetable target, never a silent drop
+    g = rows["ghost"]
+    assert g.available_tokens == 0 and g.weight == 0.1
+    assert g.target_tokens == 2.0 and g.sample_rate == 0.0 and g.epochs is None
 
 
 def test_bpe_train_hand_case(spark):
     """Hand-derived BPE merges: pair counts weight by corpus word
     frequency; ties break (count DESC, left ASC, right ASC); later merges
-    see earlier merges' symbols; and the documented same-symbol-run
-    variant holds (one merge per run per iteration)."""
+    see earlier merges' symbols; and the double-space delimiter framing
+    reproduces reference BPE's greedy merge scan exactly (r6: the r5
+    same-symbol-run divergence is closed, not just documented)."""
     from ocr_table_extractor_to_csv_spark.operators.bpe import bpe_train
 
     # low x3, lowest x1: iter 1 pairs (l,o)=4 ties (o,w)=4 -> 'l' < 'o'
@@ -1062,13 +1068,27 @@ def test_bpe_train_hand_case(spark):
     assert rows[1] == (2, "lo", "w", 4)
 
     # same-symbol run, 'aaaa' x2 (freq 2): (a,a) counts every adjacency
-    # (3 x 2 = 6); ONE merge pass folds only the first pair of the run
-    # (delimiter sharing) -> vocab 'aa a a', so merge 2 is (a,a) again at
-    # count 2 — the pinned divergence from reference BPE's 'aa aa'
+    # (3 x 2 = 6); ONE merge pass now folds the whole run left-to-right
+    # ('aaaa' -> 'aa aa', reference BPE) so merge 2 is (aa,aa) at count 2
     docs2 = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
     m = [tuple(r) for r in bpe_train(docs2, n_merges=2).collect()]
     assert m[0] == (1, "a", "a", 6)
-    assert m[1] == (2, "a", "a", 2)
+    assert m[1] == (2, "aa", "aa", 2)
+
+    # odd-length run: reference BPE leaves the unmerged symbol at the END
+    # ('aaaaa' -> 'aa aa a'), so merge 2 sees pairs (aa,aa) and (aa,a):
+    # counts tie at 1 and (aa,a) < (aa,aa) lexicographically
+    docs3 = spark.createDataFrame([(1, "aaaaa")], "doc_id long, text string")
+    m3 = [tuple(r) for r in bpe_train(docs3, n_merges=2).collect()]
+    assert m3[0] == (1, "a", "a", 4)
+    assert m3[1] == (2, "aa", "a", 1)
+
+    # immediately-repeated DISTINCT pair (the r5 ADVICE case): 'abab' with
+    # winner (a,b) merges BOTH occurrences in one pass -> 'ab ab'
+    docs4 = spark.createDataFrame([(1, "abab abab")], "doc_id long, text string")
+    m4 = [tuple(r) for r in bpe_train(docs4, n_merges=2).collect()]
+    assert m4[0] == (1, "a", "b", 4)
+    assert m4[1] == (2, "ab", "ab", 2)
 
 
 def test_token_count_trained_hand_case(spark):

@@ -69,10 +69,30 @@ def _type_kind(t: str) -> str:
     return t
 
 
+def assert_gate_shape(sdf, name):
+    """The external driver canonicalizes results with pandas.sort_values,
+    which cannot sort list/dict-valued cells (the r5 `embedding_quantize`
+    red row: ARRAY<INT> -> 'unhashable type: list').  No registry query
+    may emit array/map/struct columns — serialize them (array_join /
+    to_json) in the driver row, keep rich types for library callers."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: nested-type output columns {bad} break the external "
+        "gate's pandas canonicalizer — serialize them in the driver row"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
 def test_query_matches_oracle(spark, ddb, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)
+    assert_gate_shape(sdf, name)
     s_rows = [tuple(r) for r in sdf.collect()]
     s_cols = sdf.columns
     s_types = {c: _type_kind(t) for c, t in sdf.dtypes}
@@ -110,6 +130,7 @@ def test_rows_only_queries_run(spark):
         if name in oracles:
             continue
         df = q(spark, SF_DIR)
+        assert_gate_shape(df, name)
         assert df.count() >= 0, name
 
 
