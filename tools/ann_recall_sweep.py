@@ -87,6 +87,21 @@ def main() -> None:
                 n_centroids=n_centroids,
                 n_probe=n_probe,
             )
+    # int8-shortlist variant (r5 verdict #7): same IVF candidates, scored
+    # with quantized codes, float re-rank on the top k*refine — the recall
+    # DELTA vs float-candidate IVF at the same (nc, np) is the number that
+    # tells you whether int8 candidate scoring loses anything
+    for n_probe in (4, 8):
+        for refine in (2, 4, 8):
+            trial(
+                "ivf_q8",
+                lambda np_=n_probe, rf=refine: ivf_topk(
+                    emb, k=args.k, n_centroids=16, n_probe=np_, refine_q8=rf
+                ),
+                n_centroids=16,
+                n_probe=n_probe,
+                refine=refine,
+            )
     for n_tables in (4, 8, 16):
         trial(
             "lsh",
