@@ -164,6 +164,30 @@ def lsh_bucket_stats(
     )
 
 
+def cap_hot_buckets(bands: DataFrame, keys: list, max_bucket: int) -> DataFrame:
+    """Drop every row whose bucket (the ``keys`` tuple) holds more than
+    ``max_bucket`` members — the ONE hot-bucket cap shared by
+    ``minhash_lsh_pairs``, ``simhash_pairs``, and
+    ``similarity.cosine_dup_pairs`` (r6 review: keep the three call sites
+    in lockstep).
+
+    Shape: groupBy(keys) + inner join-back against the small-bucket set —
+    NOT ``count(*) OVER (PARTITION BY keys)``: the 10^8-member bucket the
+    cap defends against would first have to materialize inside ONE
+    unsplittable window task, while the groupBy gets map-side partial
+    counts and the join is AQE-skew-splittable (r5 verdict #2).  Identical
+    semantics; the map-side band computation runs twice (cheap,
+    embarrassingly parallel) instead of persisting the exploded bands of
+    the whole corpus."""
+    small = (
+        bands.groupBy(*keys)
+        .agg(F.count("*").alias("_bsz"))
+        .where(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    return bands.join(small, keys)
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -179,25 +203,12 @@ def minhash_lsh_pairs(
     SKIPPED in that band; truly identical texts still collapse via
     ``exact_dedup``, and near-dup clusters bigger than the cap still link
     through their less-crowded bands.  Use ``lsh_bucket_stats`` to report
-    what the cap dropped.  The DuckDB oracle mirrors the cap.
-
-    The cap count is a groupBy(band, bkey) + inner join-back against the
-    small-bucket set — NOT ``count(*) OVER (PARTITION BY band, bkey)``:
-    the 10^8-member bucket the cap defends against would first have to
-    materialize inside ONE unsplittable window task, while the groupBy
-    gets map-side partial counts and the join is AQE-skew-splittable
-    (r5 verdict #2).  Identical semantics; the map-side band computation
-    runs twice (cheap, embarrassingly parallel) instead of persisting the
-    exploded bands of the whole corpus.
+    what the cap dropped.  The DuckDB oracle mirrors the cap.  The cap
+    itself is the shared skew-safe ``cap_hot_buckets`` (see its docstring
+    for the groupBy-vs-window rationale).
     """
-    bands = lsh_bands(documents, n, k, band_size)
-    small_buckets = (
-        bands.groupBy("band", "bkey")
-        .agg(F.count("*").alias("_bsz"))
-        .where(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
-    )
-    bands = bands.join(small_buckets, ["band", "bkey"])
+    bands = cap_hot_buckets(lsh_bands(documents, n, k, band_size),
+                            ["band", "bkey"], max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -479,17 +490,11 @@ def simhash_pairs(
     against the DuckDB oracle (signed-BIGINT xor / bit_count / shift
     agree across engines).
 
-    The cap count is groupBy + join-back, not a window over the hot
-    bucket key — see ``minhash_lsh_pairs`` for the skew rationale.
+    The cap is the shared skew-safe ``cap_hot_buckets`` (groupBy +
+    join-back, never a window over the hot bucket key).
     """
-    bands = simhash_bands(documents, max_hamming, bits)
-    small_buckets = (
-        bands.groupBy("band", "bkey")
-        .agg(F.count("*").alias("_bsz"))
-        .where(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
-    )
-    bands = bands.join(small_buckets, ["band", "bkey"])
+    bands = cap_hot_buckets(simhash_bands(documents, max_hamming, bits),
+                            ["band", "bkey"], max_bucket)
     a = bands.alias("a")
     b2 = bands.alias("b")
     cand = (

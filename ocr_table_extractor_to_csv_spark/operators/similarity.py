@@ -230,7 +230,9 @@ def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     )
 
 
-def _q8_norm_frame(embeddings: DataFrame) -> DataFrame:
+def _q8_norm_frame(
+    embeddings: DataFrame, q8_codes: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, q8: array<long>, n8: double) — the int8 symmetric codes of
     ``quantize_embeddings`` (same spec: scale = max|x|/127 FULL precision,
     code = floor(x/scale + 0.5)) plus the code-vector norm, for cosine
@@ -238,7 +240,31 @@ def _q8_norm_frame(embeddings: DataFrame) -> DataFrame:
     codes; they can't be cosine neighbors anyway), so n8 > 0 always holds:
     a nonzero vector has at least one code at +/-127.  Map-only; every
     arithmetic step (max, one division, floor, BIGINT squares) is
-    cross-engine exact, so a DuckDB oracle lands on identical codes."""
+    cross-engine exact, so a DuckDB oracle lands on identical codes.
+
+    ``q8_codes`` — a MATERIALIZED ``quantize_embeddings`` output table
+    (vec_id, q) — is the production path: the codes are READ (1 B/dim vs
+    4 B/dim floats — the actual IO win) instead of recomputed from the
+    float column.  Without it the codes are derived inline from
+    ``embeddings``, which is value-identical but reads the float column —
+    a simulation of the layout, not a storage saving (r6 review)."""
+    if q8_codes is not None:
+        q8 = F.transform(F.col("q"), lambda x: x.cast("long"))
+        return (
+            q8_codes.select("vec_id", q8.alias("q8"))
+            .withColumn(
+                "n8",
+                F.sqrt(
+                    F.aggregate(
+                        F.col("q8"),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v * v,
+                    ).cast("double")
+                ),
+            )
+            .where(F.col("n8") > 0)
+            .select("vec_id", "q8", "n8")
+        )
     ab = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     scale = F.array_max(ab) / F.lit(127.0)
     codes = F.transform(
@@ -327,6 +353,7 @@ def ivf_topk(
     sample_mod: int = IVF_SAMPLE_MOD,
     max_train: int = IVF_MAX_TRAIN,
     refine_q8: int | None = None,
+    q8_codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: TRAINED coarse quantizer -> inverted lists -> probe +
     exact re-rank.
@@ -354,12 +381,18 @@ def ivf_topk(
     symmetric codes — approx_cos = <q8_q, q8_c> / (|q8_q| |q8_c|); the
     per-vector scales cancel out of the cosine, so no dequantization —
     and only the top ``k * refine_q8`` per query are re-ranked with the
-    float vectors.  At 10^9 vectors this is the storage-tier win: the
-    candidate pass reads the int8 column (4x fewer bytes than float32),
-    the int dot is exact BIGINT (cross-engine bit-exact, so the oracle
-    replays the same shortlist), and the float column is fetched for only
-    k*refine rows per query.  Recall loss vs float candidates is ~0 when
-    refine covers the quantization-noise rank jitter (see BENCH.md).
+    float vectors.  The int dot is exact BIGINT (cross-engine bit-exact,
+    so the oracle replays the same shortlist) and measured recall loss vs
+    float candidates is 0 at every swept config (BENCH.md §3c).
+
+    The storage-tier IO win (candidate pass reads 1 B/dim codes instead
+    of 4 B/dim floats) exists ONLY when ``q8_codes`` is passed — a
+    materialized ``quantize_embeddings`` output table (vec_id, q) that
+    the candidate scoring reads directly.  Without it the codes are
+    recomputed inline from the float column: value-identical, exercises
+    the exact production plan shape, but reads floats — a layout
+    simulation, not a saving (r6 review; the sandbox has no materialized
+    code table to read).
     """
     from pyspark.sql.window import Window
 
@@ -422,12 +455,13 @@ def ivf_topk(
         .distinct()
     )
     if refine_q8 is not None:
-        # int8 shortlist: score candidates on the 4x-smaller code column,
-        # keep k*refine_q8 per query for the float re-rank.  Scales cancel
-        # in the cosine; the dot is exact BIGINT so the cutoff is
+        # int8 shortlist: score candidates on the code column (read from
+        # q8_codes when materialized — the 4x IO win — else derived), keep
+        # k*refine_q8 per query for the float re-rank.  Scales cancel in
+        # the cosine; the dot is exact BIGINT so the cutoff is
         # deterministic and oracle-replayable.  The per-query window is
         # bounded by the probed-list size (not a data-skewed corpus key).
-        q8n = _q8_norm_frame(embeddings)
+        q8n = _q8_norm_frame(embeddings, q8_codes)
         qq8 = F.broadcast(
             q8n.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(
                 F.col("vec_id").alias("query_id"),
@@ -510,19 +544,17 @@ def cosine_dup_pairs(
     candidate pairs share any LSH (table, bucket); exact cosine >= threshold
     confirms.  Never all-pairs — the same banded candidate join as
     ``lsh_topk`` — and buckets with > ``max_bucket`` members are skipped per
-    band (hot-bucket guard, same rationale as dedup.minhash_lsh_pairs: an
-    M-member bucket emits M(M-1)/2 pairs; the cap count is groupBy +
-    join-back, not a window over the hot bucket key — see
-    minhash_lsh_pairs for the skew rationale).  Missed duplicates are the
-    LSH recall tradeoff; raise n_tables to trade compute for recall."""
-    bands = lsh_bands_multi(embeddings, n_planes, n_tables, dim)
-    small_buckets = (
-        bands.groupBy("table", "bucket")
-        .agg(F.count("*").alias("_bsz"))
-        .where(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
+    band (hot-bucket guard, same rationale as dedup.minhash_lsh_pairs; the
+    cap is the shared skew-safe ``dedup.cap_hot_buckets`` — groupBy +
+    join-back, never a window over the hot bucket key).  Missed duplicates
+    are the LSH recall tradeoff; raise n_tables to trade compute for
+    recall."""
+    from .dedup import cap_hot_buckets
+
+    bands = cap_hot_buckets(
+        lsh_bands_multi(embeddings, n_planes, n_tables, dim),
+        ["table", "bucket"], max_bucket,
     )
-    bands = bands.join(small_buckets, ["table", "bucket"])
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
