@@ -1848,7 +1848,10 @@ def q_embedding_quantize(spark, sf_dir):
     return df.select(
         "vec_id",
         "scale",
-        F.array_join(F.col("q"), ",").alias("q_codes"),
+        # coalesce mirrors the oracle's guard: a NULL embedding array
+        # would make q NULL -> array_join NULL on Spark but '' on DuckDB
+        # (r6 review)
+        F.coalesce(F.array_join(F.col("q"), ","), F.lit("")).alias("q_codes"),
         "mean_abs_err",
     )
 

@@ -78,6 +78,14 @@ def run_curate(
     if neardup != "pipeline" and clean_chunks is not None:
         raise ValueError("--clean-chunks applies only with --pipeline "
                          "(the C4 cleaning pass is a pipeline stage)")
+    if clean_chunks is not None and clean_chunks < 1:
+        raise ValueError(f"--clean-chunks must be >= 1 (got {clean_chunks})")
+    if prev_keepers is not None and incremental_old is None:
+        # same silent-no-op class as --materialize: prev_keepers only
+        # feeds the incremental verdict carry-over (r6 review)
+        raise ValueError("--prev-keepers applies only with "
+                         "--incremental-old (verdict carry-over is an "
+                         "incremental-mode input)")
     if neardup != "pipeline" and (materialize != "cache" or landing_dir is not None):
         # never a silent flag no-op: the materialization strategy only
         # exists on the composed pipeline's shared corpus projection

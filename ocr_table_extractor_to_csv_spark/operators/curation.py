@@ -422,6 +422,14 @@ def curate_pipeline(
         base = base.join(keep0, "doc_id").select("doc_id", "text")
 
     if clean_chunks is not None:
+        if clean_chunks < 1:
+            # chunk_tokens=0 would NULL the floor-division chunk index
+            # (non-ANSI) or crash (ANSI), emptying every document and
+            # letting the quality gate drop the whole corpus with no
+            # error — fail loudly instead (r6 review)
+            raise ValueError(
+                f"clean_chunks must be >= 1 (got {clean_chunks})"
+            )
         from .dedup import line_dedup_clean
 
         # pass 1: C4 chunk cleaning, sequential — downstream stages see

@@ -172,6 +172,32 @@ def _collect_train_sample(
     return sorted((int(r.vec_id), _quantize(r.embedding)) for r in rows)
 
 
+def _quantized_codes_frame(embeddings: DataFrame, bits: int = 8) -> DataFrame:
+    """(vec_id, embedding, scale, q) — the ONE symmetric int-quantization
+    spec (``scale = max|x| / (2^(bits-1)-1)`` at FULL precision,
+    ``q_i = floor(x_i / scale + 0.5)``, all-zero vectors -> scale 0 and
+    all-zero codes).  ``quantize_embeddings`` (storage table) and
+    ``_q8_norm_frame`` (inline ANN candidate codes) both build on this
+    frame so the two paths cannot drift (r6 review): the q8 refine path's
+    oracle exactness and its table/inline value-identity both depend on a
+    single code spec."""
+    qmax = float((1 << (bits - 1)) - 1)
+    ab = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    scale = F.array_max(ab) / F.lit(qmax)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+                "int"
+            ),
+        ),
+    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    return embeddings.select(
+        "vec_id", "embedding", scale.alias("scale")
+    ).withColumn("q", q)
+
+
 def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     """Symmetric per-vector int quantization for embedding STORAGE — the
     4x (int8) table-size lever at 100 TB, where the embedding column
@@ -191,18 +217,7 @@ def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     Map-only: one projection, no shuffle, no Python — pure column
     expressions over the array.
     """
-    qmax = float((1 << (bits - 1)) - 1)
-    ab = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-    scale = F.array_max(ab) / F.lit(qmax)
-    q = F.when(
-        F.col("scale") > 0,
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast(
-                "int"
-            ),
-        ),
-    ).otherwise(F.transform(F.col("embedding"), lambda x: F.lit(0)))
+    base = _quantized_codes_frame(embeddings, bits)
     err_sum = F.aggregate(
         F.zip_with(
             F.col("embedding"),
@@ -213,8 +228,7 @@ def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
         lambda acc, e: acc + e,
     )
     return (
-        embeddings.select("vec_id", "embedding", scale.alias("scale"))
-        .withColumn("q", q)
+        base
         # err is materialized BEFORE the output projection: Spark 3.4+
         # lateral column aliases resolve a later expression's col("scale")
         # to the ROUNDED alias earlier in the same select list, silently
@@ -265,23 +279,15 @@ def _q8_norm_frame(
             .where(F.col("n8") > 0)
             .select("vec_id", "q8", "n8")
         )
-    ab = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-    scale = F.array_max(ab) / F.lit(127.0)
-    codes = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") / F.col("_sc") + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
     n8 = F.sqrt(
         F.aggregate(
             F.col("q8"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
         ).cast("double")
     )
     return (
-        embeddings.select("vec_id", "embedding", scale.alias("_sc"))
-        .where(F.col("_sc") > 0)
-        .withColumn("q8", codes)
+        _quantized_codes_frame(embeddings, bits=8)
+        .where(F.col("scale") > 0)
+        .withColumn("q8", F.transform(F.col("q"), lambda x: x.cast("long")))
         .withColumn("n8", n8)
         .select("vec_id", "q8", "n8")
     )
@@ -354,6 +360,7 @@ def ivf_topk(
     max_train: int = IVF_MAX_TRAIN,
     refine_q8: int | None = None,
     q8_codes: DataFrame | None = None,
+    check_codes: bool = True,
 ) -> DataFrame:
     """IVF-flat ANN: TRAINED coarse quantizer -> inverted lists -> probe +
     exact re-rank.
@@ -393,6 +400,15 @@ def ivf_topk(
     the exact production plan shape, but reads floats — a layout
     simulation, not a saving (r6 review; the sandbox has no materialized
     code table to read).
+
+    A STALE ``q8_codes`` table (embeddings appended after the codes were
+    materialized) would silently drop the uncovered vectors from the
+    candidate set via the inner joins — recall degrades with no error —
+    so by default (``check_codes=True``) the call runs one cheap id-only
+    anti-join count up front and raises if any embedding lacks a code
+    row.  Pass ``check_codes=False`` only when the caller already
+    guarantees coverage (e.g. codes were materialized from this exact
+    table in the same job).
     """
     from pyspark.sql.window import Window
 
@@ -461,6 +477,19 @@ def ivf_topk(
         # the cosine; the dot is exact BIGINT so the cutoff is
         # deterministic and oracle-replayable.  The per-query window is
         # bounded by the probed-list size (not a data-skewed corpus key).
+        if q8_codes is not None and check_codes:
+            n_uncovered = (
+                embeddings.select("vec_id")
+                .join(q8_codes.select("vec_id"), "vec_id", "left_anti")
+                .count()
+            )
+            if n_uncovered:
+                raise ValueError(
+                    f"q8_codes is stale: {n_uncovered} embedding vec_ids "
+                    "have no code row; re-materialize quantize_embeddings "
+                    "(or pass check_codes=False to accept silent recall "
+                    "loss on the uncovered vectors)"
+                )
         q8n = _q8_norm_frame(embeddings, q8_codes)
         qq8 = F.broadcast(
             q8n.where(F.pmod(F.col("vec_id"), F.lit(query_mod)) == 0).select(

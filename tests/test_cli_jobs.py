@@ -92,6 +92,16 @@ def test_curate_job_incremental_mode(tmp_path, spark):
     with _pytest.raises(ValueError, match="exclusive"):
         run_curate(spark, new, out=str(tmp_path / "bad"),
                    incremental_old=old, neardup=True)
+    # --prev-keepers outside incremental mode is the same silent-no-op
+    # class as --materialize: verdicts would NOT carry over (r6 review)
+    with _pytest.raises(ValueError, match="prev-keepers"):
+        run_curate(spark, new, out=str(tmp_path / "bad2"),
+                   prev_keepers=prev)
+    # degenerate clean_chunks would empty the corpus silently (NULL chunk
+    # index -> '' text -> quality gate drops everything) — reject loudly
+    with _pytest.raises(ValueError, match="clean-chunks"):
+        run_curate(spark, new, out=str(tmp_path / "bad3"),
+                   neardup="pipeline", clean_chunks=0)
 
 
 def test_run_doc_cli_transformer_max_cols(tmp_path):

@@ -351,6 +351,28 @@ def test_ivf_q8_codes_table_path_value_identical(spark):
     assert len(inline) > 0
 
 
+def test_ivf_q8_stale_codes_table_raises(spark):
+    """A stale q8_codes table (embeddings appended after the codes were
+    materialized) would silently drop uncovered vectors from the inner
+    joins — recall loss with no error — so ivf_topk's default
+    check_codes=True must refuse it loudly; check_codes=False is the
+    documented caller-guaranteed opt-out (r6 review)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    stale = similarity.quantize_embeddings(
+        emb.where(F.col("vec_id") % 7 != 0)
+    ).select("vec_id", "q")
+    with _pytest.raises(ValueError, match="stale"):
+        similarity.ivf_topk(emb, k=5, refine_q8=2, q8_codes=stale)
+    # the opt-out still computes (degraded recall accepted explicitly)
+    rows = similarity.ivf_topk(
+        emb, k=5, refine_q8=2, q8_codes=stale, check_codes=False
+    ).limit(1).collect()
+    assert len(rows) == 1
+
+
 def test_ivf_train_sample_bounded_by_absolute_count(spark):
     """r3 verdict #1: the training collect must be O(max_train), NOT a
     proportional fraction of the corpus — at 10^9 vectors a 20% collect is
