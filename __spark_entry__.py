@@ -2660,6 +2660,99 @@ ORDER BY canon_url
 """
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring dup candidates via content-defined anchor k-grams
+    (``dedup.substring_dedup_pairs``) — the dedup mode whole-document
+    MinHash misses: a long verbatim span inside an otherwise-unrelated
+    pair has low doc-level Jaccard but still shares anchors (Lee et al.
+    2022's suffix-array target, re-expressed as Spark-shaped anchor
+    sampling; shared skew-safe hot-anchor cap)."""
+    return dedup.substring_dedup_pairs(_docs(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(ts) >= {dedup.SUBSTR_GRAM}
+         THEN list_transform(generate_series(1, len(ts) - {dedup.SUBSTR_GRAM - 1}),
+              i -> array_to_string(ts[i:i+{dedup.SUBSTR_GRAM - 1}], '_'))
+         ELSE []::VARCHAR[] END)) AS gram
+  FROM toks
+),
+anch0 AS (
+  SELECT doc_id, md5(gram) AS anchor
+  FROM g
+  WHERE CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+        % {dedup.SUBSTR_ANCHOR_MOD} = 0
+),
+anch AS MATERIALIZED (
+  SELECT doc_id, anchor FROM (
+    SELECT *, count(*) OVER (PARTITION BY anchor) AS bsz FROM anch0
+  ) _c WHERE bsz <= {dedup.SUBSTR_MAX_BUCKET}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS INT) AS n_shared
+FROM anch a JOIN anch b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {dedup.SUBSTR_MIN_ANCHORS}
+ORDER BY id_a, id_b
+"""
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-token quality classifier trained ON the corpus (deterministic
+    doc_id-mod split labeled by the shared heuristic quality_score) and
+    applied to every doc (``textstats.quality_classifier``) — the
+    distill-the-gate step of a real corpus build.  Training, the
+    fixed-point Laplace weights, and scoring are all integer-exact, so
+    the oracle replays the full train+score round trip."""
+    return textstats.quality_classifier(_docs(spark, sf_dir))
+
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS ts FROM documents),
+lab AS (
+  SELECT doc_id, ts,
+         CASE WHEN round(least(1.0, CAST(len(ts) AS DOUBLE) / 50.0)
+              - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                / greatest(1, length(text)), 5) >= {textstats.QC_THRESHOLD}
+              THEN 1 ELSE 0 END AS label
+  FROM t
+),
+tok AS MATERIALIZED (
+  SELECT doc_id, label,
+         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+              % {textstats.QC_BUCKETS} AS INT) AS bucket
+  FROM (SELECT doc_id, label, unnest(ts) AS tok FROM lab) _u
+),
+w AS MATERIALIZED (
+  SELECT bucket, CAST(sum(label) AS BIGINT) AS pos, count(*) AS cnt
+  FROM tok WHERE doc_id % {textstats.QC_TRAIN_MOD} = 0
+  GROUP BY bucket
+),
+g AS MATERIALIZED (
+  SELECT CAST(sum(label) AS BIGINT) AS gpos, count(*) AS gcnt
+  FROM tok WHERE doc_id % {textstats.QC_TRAIN_MOD} = 0
+)
+SELECT t.doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST(max(t.label) AS INT) AS label,
+       CAST(sum(CASE WHEN w.bucket IS NULL THEN 0
+                     WHEN w.pos * g.gcnt > g.gpos * w.cnt THEN 1
+                     WHEN w.pos * g.gcnt < g.gpos * w.cnt THEN -1
+                     ELSE 0 END) AS BIGINT) AS vote,
+       sum(CASE WHEN w.bucket IS NULL THEN 0
+                WHEN w.pos * g.gcnt > g.gpos * w.cnt THEN 1
+                WHEN w.pos * g.gcnt < g.gpos * w.cnt THEN -1
+                ELSE 0 END) >= 0 AS pred
+FROM tok t LEFT JOIN w ON t.bucket = w.bucket CROSS JOIN g
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2683,6 +2776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally regardless (plus tools/self_correctness.py at two SFs).
     return {
         # -- (1) new in r6 / red in r5 --
+        "substring_dedup": q_substring_dedup,
+        "quality_classifier": q_quality_classifier,
         "pipeline_full_v3": q_pipeline_full_v3,
         "similarity_ivf_q": q_similarity_ivf_q,
         "embedding_quantize": q_embedding_quantize,
@@ -2792,6 +2887,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_full": _oracle_pipeline_full(),
         "pipeline_full_v2": _oracle_pipeline_v2(),
         "pipeline_full_v3": _oracle_pipeline_v3(),
+        "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+        "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_lsh": ORACLE_MINHASH_LSH,

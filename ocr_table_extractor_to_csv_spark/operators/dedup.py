@@ -839,3 +839,103 @@ def line_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+# --- exact-substring dedup (anchor k-grams) ---------------------------------
+#
+# The dedup mode MinHash misses: two documents sharing one long VERBATIM
+# span (a quoted article inside an otherwise-unrelated page) have low
+# whole-document Jaccard, so no LSH band collides — but the span itself is
+# exactly what substring dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better") removes with a suffix array.  A
+# distributed suffix array is not a Spark-shaped structure; the standard
+# scale substitute is CONTENT-DEFINED anchor sampling: every k-token gram
+# whose hash lands in a fixed residue class is an anchor, so any shared
+# span of >= ~k * anchor_mod tokens contains a shared anchor with high
+# probability REGARDLESS of its byte offset in either document (offset
+# shifts do not move content-defined anchors — the same robustness
+# argument as rsync/rolling-hash chunking).
+
+SUBSTR_GRAM = 8          # anchor gram length (tokens)
+SUBSTR_ANCHOR_MOD = 4    # keep grams with hash32 % mod == 0 (1/mod sampling)
+SUBSTR_MIN_ANCHORS = 2   # pair must share this many distinct anchors
+SUBSTR_MAX_BUCKET = 64   # hot-anchor cap (boilerplate spans)
+
+
+def substring_anchors(
+    documents: DataFrame,
+    k: int = SUBSTR_GRAM,
+    anchor_mod: int = SUBSTR_ANCHOR_MOD,
+) -> DataFrame:
+    """(doc_id, anchor) — distinct content-defined anchor k-grams.
+
+    Grams are built with the shifted-slice zip_with chain (one pass,
+    O(tokens) — see ``shingles``); an anchor is the md5 of the
+    '_'-joined gram, kept iff its first-32-bits integer lands in residue
+    0 mod ``anchor_mod`` (deterministic 1/anchor_mod sampling of gram
+    POSITIONS by CONTENT, so both copies of a shared span elect the same
+    anchors).  Docs with < k tokens emit nothing — a span shorter than
+    one gram is below the detection floor by construction (deliberately
+    NOT the ``shingles`` whole-doc fallback: exact short docs are
+    ``exact_dedup``'s job).
+
+    Map-only until the explode; ~|tokens| / anchor_mod rows of 32-byte
+    keys per document reach the shuffle — the 100 TB knob is
+    ``anchor_mod`` (bytes shuffled scale as 1/mod, detection floor as
+    ~k * mod tokens).
+    """
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    m = n - (k - 1)
+    grams = F.slice(toks, k, m)
+    for j in range(k - 1, 0, -1):
+        grams = F.zip_with(
+            F.slice(toks, j, m), grams, lambda a, b: F.concat(a, F.lit("_"), b)
+        )
+    grams = F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+    h32 = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    return (
+        documents.select(
+            "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+        )
+        .where(F.pmod(h32, F.lit(anchor_mod)) == 0)
+        .select("doc_id", F.md5(F.col("gram")).alias("anchor"))
+    )
+
+
+def substring_dedup_pairs(
+    documents: DataFrame,
+    k: int = SUBSTR_GRAM,
+    anchor_mod: int = SUBSTR_ANCHOR_MOD,
+    min_anchors: int = SUBSTR_MIN_ANCHORS,
+    max_bucket: int = SUBSTR_MAX_BUCKET,
+) -> DataFrame:
+    """(id_a, id_b, n_shared) — document pairs sharing >= ``min_anchors``
+    distinct content-defined anchors: exact-substring dup candidates.
+
+    Shape mirrors ``minhash_lsh_pairs``: anchors -> shared skew-safe
+    ``cap_hot_buckets`` on the anchor key (a boilerplate span present in
+    10^6 docs is a hot anchor; capped buckets are skipped, the span
+    still links through its rarer neighboring anchors) -> self-equi-join
+    on anchor -> groupBy pair counting shared anchors (per-doc anchors
+    are distinct, so count(*) IS the distinct-anchor count).  Pair
+    output is bounded by max_bucket^2 per anchor; requiring
+    ``min_anchors`` >= 2 suppresses single-gram coincidences.
+    """
+    anch = cap_hot_buckets(
+        substring_anchors(documents, k, anchor_mod), ["anchor"], max_bucket
+    )
+    a = anch.alias("a")
+    b = anch.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.anchor") == F.col("b.anchor"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .where(F.col("n_shared") >= min_anchors)
+    )

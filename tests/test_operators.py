@@ -1441,3 +1441,67 @@ def test_new_dedup_ops_partitioning_neutral(spark):
         ra = [tuple(r) for r in op(a).collect()]
         rb = [tuple(r) for r in op(b).collect()]
         assert ra == rb and len(ra) > 0
+
+
+def test_substring_dedup_planted_span(spark):
+    """Two docs sharing a 40-token verbatim span at DIFFERENT offsets must
+    pair (content-defined anchors are offset-invariant); unrelated docs
+    must not.  Docs shorter than one gram emit no anchors at all."""
+    span = " ".join(f"shared{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "intro one two three " + span + " outro alpha"),
+            (2, "completely different preamble tokens here " + span),
+            (3, " ".join(f"noise{i}" for i in range(60))),
+            (4, "tiny doc"),  # < SUBSTR_GRAM tokens: below detection floor
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in dedup.substring_dedup_pairs(docs).collect()}
+    assert set(pairs) == {(1, 2)}
+    # 40-token span -> 33 grams, ~1/4 sampled: several shared anchors
+    assert pairs[(1, 2)] >= dedup.SUBSTR_MIN_ANCHORS
+    assert dedup.substring_anchors(
+        docs.where(F.col("doc_id") == 4)
+    ).count() == 0
+
+
+def test_substring_dedup_hot_anchor_cap(spark):
+    """A span present in > max_bucket docs is a hot anchor: its buckets are
+    skipped entirely (no quadratic pair blowup), so with max_bucket=3 a
+    4-doc boilerplate family yields zero pairs while a 2-doc family still
+    links — the minhash_lsh_pairs cap semantics on the anchor key."""
+    boiler = " ".join(f"boiler{i}" for i in range(30))
+    rare = " ".join(f"rare{i}" for i in range(30))
+    rows = [(i, f"doc {i} header " + boiler) for i in range(1, 5)]
+    rows += [(10, "x " + rare), (11, "y y y " + rare)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.substring_dedup_pairs(docs, max_bucket=3).collect()}
+    assert pairs == {(10, 11)}
+
+
+def test_quality_classifier_learns_separable_vocabulary(spark):
+    """The vote model must ACTUALLY LEARN when the label is carried by
+    vocabulary: label-1 docs use one token set (long, no punctuation ->
+    quality 1.0), label-0 docs another (comma-suffixed tokens -> punct
+    ratio ~0.17 -> quality ~0.83 < 0.9).  Held-out docs (doc_id % 5 != 0)
+    must be classified perfectly — every label-1 token's bucket has
+    pos == cnt (vote +1), every label-0 token's has pos == 0 (vote -1).
+    The driver-registry corpus shows the documented opposite (near-zero
+    lexical signal, held-out ~0.47): this test is the capability half of
+    that honesty note."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import (
+        quality_classifier,
+    )
+
+    good = " ".join(f"alpha{i % 7}" for i in range(60))
+    bad = " ".join(f"zork{i % 7}," for i in range(60))
+    rows = [(i, good if i % 2 == 0 else bad) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_classifier(docs).collect()
+    assert {r.label for r in out} == {0, 1}  # both classes present
+    held = [r for r in out if r.doc_id % 5 != 0]
+    assert held and all((r.vote >= 0) == (r.label == 1) for r in held)
+    assert all(r.pred == (r.vote >= 0) for r in out)
