@@ -446,3 +446,40 @@ def test_line_dedup_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
     assert len(exchanges) == 5, plan[:3000]
+
+
+def test_substring_dedup_no_window_no_python(spark):
+    """substring_dedup_pairs must keep the skew-safe shape end to end: the
+    hot-anchor cap is the shared groupBy+join-back (no window over the
+    anchor key — a boilerplate span shared by 10^6 docs is exactly the
+    hot key), and the whole plan is JVM-only column expressions."""
+    from ocr_table_extractor_to_csv_spark.operators.dedup import (
+        substring_dedup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _formatted(spark, substring_dedup_pairs(docs))
+    assert "Window" not in plan, "hot-anchor cap regressed to a window"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_broadcasts_model(spark):
+    """quality_classifier's corpus-side plan must join the <= n_buckets
+    stats table and the 1-row global via BROADCAST joins only — the
+    exploded corpus token stream must never shuffle against itself (no
+    SortMergeJoin / ShuffledHashJoin anywhere), and must stay JVM-only."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import (
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 11}" for j in range(30))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _formatted(spark, quality_classifier(docs))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
