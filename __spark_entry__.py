@@ -906,10 +906,14 @@ def q_mix_plan(spark, sf_dir):
     )
 
 
-def _oracle_mix_plan() -> str:
-    w_case = "CASE source " + " ".join(
+def _mix_w_case() -> str:
+    return "CASE source " + " ".join(
         f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items())
     ) + " ELSE 0.0 END"
+
+
+def _oracle_mix_plan() -> str:
+    w_case = _mix_w_case()
     wk_vals = ", ".join(f"('{s}')" for s in sorted(MIX_WEIGHTS))
     return f"""
 WITH t AS (
@@ -937,6 +941,53 @@ SELECT source, available_tokens,
             ELSE NULL END AS epochs
 FROM per
 ORDER BY source
+"""
+
+
+def q_mix_sample(spark, sf_dir):
+    """Materialized training mix (``textstats.mix_sample``): the plan's
+    per-source epochs applied to the corpus with deterministic md5-u
+    sampling AND upsampling — floor(e) guaranteed copies + one u-gated
+    partial copy per doc, so the expected token yield equals the plan's
+    target per source.  The plan broadcasts; the doc side never
+    shuffles."""
+    return textstats.mix_sample(
+        _docs(spark, sf_dir), budget_tokens=MIX_BUDGET, weights=MIX_WEIGHTS
+    )
+
+
+def _oracle_mix_sample() -> str:
+    w_case = _mix_w_case()
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS INT) AS n FROM documents
+), per AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS available_tokens
+  FROM t GROUP BY source
+), plan AS (
+  SELECT source,
+         CASE WHEN available_tokens > 0
+              THEN round(CAST({MIX_BUDGET} AS DOUBLE) * ({w_case})
+                         / available_tokens, 6)
+              ELSE NULL END AS epochs
+  FROM per
+), d AS (
+  SELECT doc_id, source, n AS n_tokens,
+         CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) / 4294967296.0 AS u
+  FROM t
+), c AS (
+  SELECT d.doc_id, d.source, d.n_tokens,
+         CAST(floor(p.epochs)
+              + CASE WHEN d.u < p.epochs - floor(p.epochs) THEN 1 ELSE 0 END
+              AS INT) AS n_copies
+  FROM d JOIN plan p USING (source)
+  WHERE p.epochs IS NOT NULL
+)
+SELECT doc_id, source, n_tokens,
+       CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy
+FROM c WHERE n_copies >= 1
+ORDER BY doc_id, copy
 """
 
 
@@ -1642,26 +1693,21 @@ def _q8_shortlist_ctes(k: int, refine_q8: int | None) -> str:
 )"""
 
 
-def _oracle_similarity_ivf(
-    k: int = 5,
-    query_mod: int = 50,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    n_iter: int = similarity.IVF_TRAIN_ITERS,
-    sample_mod: int = similarity.IVF_SAMPLE_MOD,
-    max_train: int = similarity.IVF_MAX_TRAIN,
-    refine_q8: int | None = None,
+def _ivf_cent_assign_ctes(
+    n_centroids: int,
+    n_iter: int,
+    sample_mod: int,
+    max_train: int,
 ) -> str:
-    """DuckDB twin of ivf_topk: re-runs the SAME integer Lloyd training
-    unrolled ``n_iter`` times in SQL.  Because quantization (floor), the
-    per-cluster sum vectors (order-independent BIGINT sums), and the
-    argmax scores (exact-int dot / sqrt-of-exact-int) are all bit-exact in
-    both engines, centroids and every ranking decision match the Spark
-    side exactly; ties break (score DESC, cid ASC) = Spark's
-    array_position-first-max.  With ``refine_q8`` set, the int8-code
-    shortlist (codes = floor(x / (max|x|/127) + 0.5) — every arithmetic
-    step cross-engine exact, so the shortlist cutoff replays identically)
-    is inserted between candidates and the float re-rank."""
+    """Shared CTE prefix for every trained-quantizer oracle
+    (``similarity_ivf``, ``similarity_ivf_q``, ``semdedup``): re-runs the
+    SAME integer Lloyd training unrolled ``n_iter`` times in SQL and ends
+    with ``assign`` = (vec_id, cid) for EVERY vector.  Because
+    quantization (floor), the per-cluster sum vectors (order-independent
+    BIGINT sums), and the argmax scores (exact-int dot /
+    sqrt-of-exact-int) are all bit-exact in both engines, centroids and
+    every assignment decision match the Spark side exactly; ties break
+    (score DESC, cid ASC) = Spark's array_position-first-max."""
     int_dot = (
         "CAST(list_reduce(list_transform(generate_series(1, len({q})), "
         "j -> {q}[j] * {c}.s[j]), (a, b) -> a + b) AS DOUBLE)"
@@ -1697,9 +1743,7 @@ c{i} AS MATERIALIZED (
   SELECT c.cid, coalesce(u.s, c.s) AS s FROM c{i - 1} c LEFT JOIN u{i} u USING (cid)
 )"""
     assign_score = int_dot.format(q="v.q", c="c") + " / c.s_nrm"
-    probe_score = int_dot.format(q="qq.qq", c="c") + " / c.s_nrm"
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ), qv AS (
@@ -1727,7 +1771,31 @@ cent AS MATERIALIZED (
                               ORDER BY {assign_score} DESC, c.cid ASC) AS r
     FROM qv v CROSS JOIN cent c
   ) _a WHERE r = 1
-), n AS (
+)"""
+
+
+def _oracle_similarity_ivf(
+    k: int = 5,
+    query_mod: int = 50,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = similarity.IVF_TRAIN_ITERS,
+    sample_mod: int = similarity.IVF_SAMPLE_MOD,
+    max_train: int = similarity.IVF_MAX_TRAIN,
+    refine_q8: int | None = None,
+) -> str:
+    """DuckDB twin of ivf_topk over the shared trained-quantizer prefix
+    (``_ivf_cent_assign_ctes``).  With ``refine_q8`` set, the int8-code
+    shortlist (codes = floor(x / (max|x|/127) + 0.5) — every arithmetic
+    step cross-engine exact, so the shortlist cutoff replays identically)
+    is inserted between candidates and the float re-rank."""
+    int_dot = (
+        "CAST(list_reduce(list_transform(generate_series(1, len({q})), "
+        "j -> {q}[j] * {c}.s[j]), (a, b) -> a + b) AS DOUBLE)"
+    )
+    probe_score = int_dot.format(q="qq.qq", c="c") + " / c.s_nrm"
+    return f"""
+WITH {_ivf_cent_assign_ctes(n_centroids, n_iter, sample_mod, max_train)}, n AS (
   SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM base
 ), qq AS (
   SELECT n.vec_id AS query_id, n.e AS qe, n.nrm AS q_nrm, qv.q AS qq
@@ -1759,6 +1827,46 @@ cent AS MATERIALIZED (
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
        round(cos, 4) AS cos_sim
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the trained
+    integer-Lloyd coarse quantizer, keep within each cluster only vectors
+    with no lower-id neighbor at cosine >= 0.35
+    (``similarity.semdedup``).  The third embedding-dedup path next to
+    LSH-bucketed pairs and brute force; training, assignment, and the
+    keeper verdict all replay exactly in the oracle."""
+    return similarity.semdedup(_emb(spark, sf_dir))
+
+
+def _oracle_semdedup(
+    n_centroids: int = 16,
+    threshold: float = 0.35,
+    n_iter: int = similarity.IVF_TRAIN_ITERS,
+    sample_mod: int = similarity.IVF_SAMPLE_MOD,
+    max_train: int = similarity.IVF_MAX_TRAIN,
+) -> str:
+    """DuckDB twin of semdedup over the shared trained-quantizer prefix:
+    same centroids, same assignment, then the NOT-EXISTS keeper rule on
+    exact float cosine (list_sum dot == Spark's left fold, the
+    dedup_embedding-proven parity)."""
+    return f"""
+WITH {_ivf_cent_assign_ctes(n_centroids, n_iter, sample_mod, max_train)}, n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM base
+), m AS MATERIALIZED (
+  SELECT a.vec_id, a.cid, n.e, n.nrm
+  FROM assign a JOIN n ON n.vec_id = a.vec_id AND n.nrm > 0
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM m a JOIN m b ON b.cid = a.cid AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+          / (a.nrm * b.nrm) >= {threshold}
+)
+SELECT m.vec_id, CAST(m.cid AS INT) AS cid,
+       (d.vec_id IS NULL) AS is_keeper
+FROM m LEFT JOIN dups d ON d.vec_id = m.vec_id
+ORDER BY m.vec_id
 """
 
 
@@ -2778,6 +2886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) new in r6 / red in r5 --
         "substring_dedup": q_substring_dedup,
         "quality_classifier": q_quality_classifier,
+        "semdedup": q_semdedup,
+        "mix_sample": q_mix_sample,
         "pipeline_full_v3": q_pipeline_full_v3,
         "similarity_ivf_q": q_similarity_ivf_q,
         "embedding_quantize": q_embedding_quantize,
@@ -2889,6 +2999,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_full_v3": _oracle_pipeline_v3(),
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+        "semdedup": _oracle_semdedup(),
+        "mix_sample": _oracle_mix_sample(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "minhash_lsh": ORACLE_MINHASH_LSH,

@@ -349,6 +349,93 @@ def train_ivf_centroids(
     ]
 
 
+def assign_centroids(embeddings: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, cid) — coarse-quantizer list assignment for EVERY vector in
+    one scan of pure column expressions: the K centroids ship as literal
+    arrays, the argmax score <q(e), S_c> / |S_c| is an exact BIGINT dot
+    over the quantized embedding (the row's own norm cancels across
+    centroids), and ties break first-max = lowest cid.  No join, no
+    shuffle, no Python — the 10^9-vector side never moves.  Shared by
+    ``ivf_topk`` (inverted lists) and ``semdedup`` (cluster-then-dedup)."""
+
+    def score_sql(svec: list, nrm: float) -> str:
+        arr = ",".join(f"{int(x)}L" for x in svec)
+        return (
+            f"(CAST(aggregate(zip_with(qe, array({arr}), "
+            "(x, w) -> x * w), 0L, (acc, v) -> acc + v) AS DOUBLE) "
+            f"/ {nrm!r}D)"
+        )
+
+    cos_arr = "array(" + ",".join(score_sql(s, nrm) for (_c, s, nrm) in cents) + ")"
+    # argmax with first-max (lowest cid) tie rule — bit-identical scores on
+    # both engines make the tie rule the ONLY ordering decision
+    cid_expr = f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
+    return embeddings.select(
+        "vec_id", F.expr(_QUANT_SQL).alias("qe")
+    ).select("vec_id", F.expr(cid_expr).alias("cid"))
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.35,
+    n_iter: int = IVF_TRAIN_ITERS,
+    sample_mod: int = IVF_SAMPLE_MOD,
+    max_train: int = IVF_MAX_TRAIN,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with the TRAINED coarse
+    quantizer, then keeping, within each cluster, only vectors with no
+    LOWER-id neighbor at cosine >= ``threshold`` — the third embedding
+    dedup path next to LSH-bucketed pairs (``cosine_dup_pairs``, recall
+    traded for candidate bound) and exact brute force (oracle only).
+
+    Deterministic spec: cluster assignment is ``assign_centroids`` (exact
+    integer argmax, lowest-cid ties); the keeper rule is per-vector NOT
+    EXISTS (same-cluster lower-id neighbor with cos >= threshold), so no
+    iterative component resolution is needed and the oracle replays the
+    verdict row for row.  Zero vectors are excluded (no cosine).
+
+    Scale shape: the within-cluster pair join shuffles on cid — cluster
+    sizes are ~N/K by construction and the paper's prescription is to
+    scale K with N (cluster size is the quadratic knob, exactly as its
+    GPU implementation batches per cluster); the join is a plain
+    sort-merge on cid, so AQE skew-join splitting covers an unbalanced
+    cluster.  Returns (vec_id, cid, is_keeper) ordered by vec_id.
+    """
+    cents = train_ivf_centroids(embeddings, n_centroids, n_iter, sample_mod, max_train)
+    base = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).where(F.col("nrm") > 0)
+    assign = assign_centroids(embeddings, cents).join(
+        base.select("vec_id", "embedding", "nrm"), "vec_id"
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            _dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            >= threshold
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.select("vec_id", "cid")
+        .join(dup_ids.withColumn("_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "cid", F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_keeper")
+        )
+        .orderBy("vec_id")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int = 5,
@@ -413,24 +500,7 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     cents = train_ivf_centroids(embeddings, n_centroids, n_iter, sample_mod, max_train)
-
-    def score_sql(svec: list, nrm: float) -> str:
-        # argmax score: <qe, S_c> / |S_c| — the row's own norm is constant
-        # across centroids, so it cancels; the dot is EXACT (BIGINT)
-        arr = ",".join(f"{int(x)}L" for x in svec)
-        return (
-            f"(CAST(aggregate(zip_with(qe, array({arr}), "
-            "(x, w) -> x * w), 0L, (acc, v) -> acc + v) AS DOUBLE) "
-            f"/ {nrm!r}D)"
-        )
-
-    cos_arr = "array(" + ",".join(score_sql(s, nrm) for (_c, s, nrm) in cents) + ")"
-    # argmax with first-max (lowest cid) tie rule — bit-identical scores on
-    # both engines make the tie rule the ONLY ordering decision
-    cid_expr = f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
-    assign = embeddings.select(
-        "vec_id", F.expr(_QUANT_SQL).alias("qe")
-    ).select("vec_id", F.expr(cid_expr).alias("cid"))
+    assign = assign_centroids(embeddings, cents)
 
     # query side: rank centroids relationally over the tiny broadcast table
     cent_df = F.broadcast(

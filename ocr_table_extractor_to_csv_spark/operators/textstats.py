@@ -508,3 +508,69 @@ def quality_classifier(
         )
         .orderBy("doc_id")
     )
+
+
+def mix_sample(
+    documents: DataFrame,
+    budget_tokens: int = 1_000_000,
+    weights: dict | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Materialize a ``mix_plan``: the actual training-mix sample as
+    (doc_id, source, n_tokens, copy) rows, with DETERMINISTIC upsampling —
+    closing the plan -> corpus loop (the step a trainer actually reads).
+
+    Per document: u = first-32-bits of md5('{salt}:' || doc_id) / 2^32
+    (bit-exact uniform in every engine — power-of-two division, the
+    ``sample_stratified`` rule); with e = the plan's rounded ``epochs``
+    for its source, the doc is emitted ``floor(e) + (u < e - floor(e))``
+    times (``copy`` = 1..n).  e < 1 reduces to plain u < e subsampling;
+    e > 1 emits floor(e) guaranteed copies plus one u-gated partial copy
+    — expected token yield = target_tokens per source, exactly the
+    plan's contract.  Zero-weight sources emit nothing (e = 0);
+    zero-available sources have NULL e and are excluded (nothing to
+    emit) — both verdicts visible in ``mix_plan`` itself.
+
+    Scale shape: the plan collapses to one row per source and BROADCASTS
+    to the corpus scan (doc side never shuffles); the explode fans out
+    at most ceil(e) rows per doc.  Like every sampler here it is
+    reproducible on any cluster, partitioning, or retry — rand() is
+    none of those.
+    """
+    plan = mix_plan(documents, budget_tokens, weights).select("source", "epochs")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{salt}:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(2**32))
+    )
+    docs = documents.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        u.alias("_u"),
+    )
+    frac = F.col("epochs") - F.floor(F.col("epochs"))
+    n_copies = (
+        F.floor(F.col("epochs"))
+        + F.when(F.col("_u") < frac, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        docs.join(F.broadcast(plan), "source")
+        .withColumn("n_copies", n_copies)
+        # guard BEFORE the explode: Spark sequence(1, 0) DESCENDS
+        .where(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy"),
+        )
+        .orderBy("doc_id", "copy")
+    )

@@ -1505,3 +1505,51 @@ def test_quality_classifier_learns_separable_vocabulary(spark):
     held = [r for r in out if r.doc_id % 5 != 0]
     assert held and all((r.vote >= 0) == (r.label == 1) for r in held)
     assert all(r.pred == (r.vote >= 0) for r in out)
+
+
+def test_semdedup_exact_duplicate_dropped_keeper_kept(spark):
+    """SemDeDup keeper rule on the real sf embeddings PLUS a planted exact
+    duplicate: an appended copy of an existing vector (new max vec_id)
+    must land in the same cluster and be marked is_keeper=False (its
+    lower-id twin has cosine 1.0), while the twin's own verdict is
+    unchanged vs the run without the copy."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base_out = {r.vec_id: (r.cid, r.is_keeper)
+                for r in similarity.semdedup(emb).collect()}
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    clone_id = max(base_out) + 1_000_000
+    clone = spark.createDataFrame(
+        [(clone_id, first.embedding)], emb.select("vec_id", "embedding").schema
+    )
+    out = {r.vec_id: (r.cid, r.is_keeper)
+           for r in similarity.semdedup(
+               emb.select("vec_id", "embedding").unionByName(clone)
+           ).collect()}
+    assert out[clone_id][0] == out[first.vec_id][0]  # same cluster
+    assert out[clone_id][1] is False                 # the copy is the dup
+    assert out[first.vec_id][1] == base_out[first.vec_id][1]
+
+
+def test_mix_sample_integer_and_fractional_epochs(spark):
+    """mix_sample copy semantics: epochs exactly 2.0 -> EVERY doc emitted
+    exactly twice (copy 1..2, no u-gate involvement); epochs 0.5 -> each
+    doc 0-or-1 copies with a nonempty strict subset kept.  Zero-weight
+    sources emit nothing."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import mix_sample
+
+    docs = spark.createDataFrame(
+        [(i, "src_a" if i < 40 else "src_b", " ".join(f"t{j}" for j in range(10)))
+         for i in range(50)],
+        "doc_id long, source string, text string",
+    )
+    # src_a: 40 docs x 10 tokens = 400 available; budget*1.0 = 800 -> e = 2.0
+    two = mix_sample(docs, budget_tokens=800, weights={"src_a": 1.0}).collect()
+    assert {r.source for r in two} == {"src_a"}  # src_b weight 0: nothing
+    per_doc = {}
+    for r in two:
+        per_doc.setdefault(r.doc_id, []).append(r.copy)
+    assert len(per_doc) == 40 and all(sorted(c) == [1, 2] for c in per_doc.values())
+    # budget 200 -> e = 0.5: deterministic u-gated subset, 0 < kept < 40
+    half = mix_sample(docs, budget_tokens=200, weights={"src_a": 1.0}).collect()
+    kept = {r.doc_id for r in half}
+    assert 0 < len(kept) < 40 and all(r.copy == 1 for r in half)

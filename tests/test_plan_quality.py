@@ -483,3 +483,20 @@ def test_quality_classifier_broadcasts_model(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_sample_plan_broadcasts_to_corpus(spark):
+    """mix_sample's per-source plan (bounded rows) must reach the corpus
+    scan as a BROADCAST join — the doc side never shuffles for the join
+    (the only Exchange allowed on it is the final orderBy's range
+    partitioning), and the whole plan stays JVM-only."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import mix_sample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "a b c d e") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    plan = _formatted(spark, mix_sample(docs, budget_tokens=100))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
