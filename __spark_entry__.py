@@ -2813,9 +2813,10 @@ def q_quality_classifier(spark, sf_dir):
     """Hashed-token quality classifier trained ON the corpus (deterministic
     doc_id-mod split labeled by the shared heuristic quality_score) and
     applied to every doc (``textstats.quality_classifier``) — the
-    distill-the-gate step of a real corpus build.  Training, the
-    fixed-point Laplace weights, and scoring are all integer-exact, so
-    the oracle replays the full train+score round trip."""
+    distill-the-gate step of a real corpus build.  Training counts are
+    exact integers and the cross-multiplied rate votes are identically
+    rounded doubles on both engines, so the oracle replays the full
+    train+score round trip row for row."""
     return textstats.quality_classifier(_docs(spark, sf_dir))
 
 
@@ -2841,19 +2842,25 @@ w AS MATERIALIZED (
   GROUP BY bucket
 ),
 g AS MATERIALIZED (
-  SELECT CAST(sum(label) AS BIGINT) AS gpos, count(*) AS gcnt
-  FROM tok WHERE doc_id % {textstats.QC_TRAIN_MOD} = 0
+  -- column sums of the bounded stats table (mirrors the Spark side: no
+  -- second pass over the token stream)
+  SELECT CAST(sum(pos) AS BIGINT) AS gpos, CAST(sum(cnt) AS BIGINT) AS gcnt
+  FROM w
 )
 SELECT t.doc_id,
        CAST(count(*) AS INT) AS n_tokens,
        CAST(max(t.label) AS INT) AS label,
        CAST(sum(CASE WHEN w.bucket IS NULL THEN 0
-                     WHEN w.pos * g.gcnt > g.gpos * w.cnt THEN 1
-                     WHEN w.pos * g.gcnt < g.gpos * w.cnt THEN -1
+                     WHEN CAST(w.pos AS DOUBLE) * CAST(g.gcnt AS DOUBLE)
+                        > CAST(g.gpos AS DOUBLE) * CAST(w.cnt AS DOUBLE) THEN 1
+                     WHEN CAST(w.pos AS DOUBLE) * CAST(g.gcnt AS DOUBLE)
+                        < CAST(g.gpos AS DOUBLE) * CAST(w.cnt AS DOUBLE) THEN -1
                      ELSE 0 END) AS BIGINT) AS vote,
        sum(CASE WHEN w.bucket IS NULL THEN 0
-                WHEN w.pos * g.gcnt > g.gpos * w.cnt THEN 1
-                WHEN w.pos * g.gcnt < g.gpos * w.cnt THEN -1
+                WHEN CAST(w.pos AS DOUBLE) * CAST(g.gcnt AS DOUBLE)
+                   > CAST(g.gpos AS DOUBLE) * CAST(w.cnt AS DOUBLE) THEN 1
+                WHEN CAST(w.pos AS DOUBLE) * CAST(g.gcnt AS DOUBLE)
+                   < CAST(g.gpos AS DOUBLE) * CAST(w.cnt AS DOUBLE) THEN -1
                 ELSE 0 END) >= 0 AS pred
 FROM tok t LEFT JOIN w ON t.bucket = w.bucket CROSS JOIN g
 GROUP BY t.doc_id

@@ -52,27 +52,37 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams, '_'-joined.
-
-    Docs with < n tokens emit their full token join as the single shingle
-    (so short docs still participate).
-
-    Built as a zip_with chain over n SHIFTED slices of the token array —
-    O(tokens) with one pass, vs the naive transform(sequence, i ->
-    array_join(slice(toks, i, n))) which re-slices and re-joins per
-    position (O(tokens x n) + an allocation per gram): measured 5.2x faster
-    at sf0.1 with byte-identical output.
-    """
-    toks = tokens_col(F.col("text"))
-    k = F.size(toks)
-    m = k - (n - 1)  # number of n-grams
+def _gram_chain(toks, n: int):
+    """'_'-joined n-grams of a token-array column as a zip_with chain over
+    n SHIFTED slices — O(tokens) with one pass, vs the naive
+    transform(sequence, i -> array_join(slice(toks, i, n))) which
+    re-slices and re-joins per position (O(tokens x n) + an allocation
+    per gram): measured 5.2x faster at sf0.1 with byte-identical output.
+    Returns the raw gram array; docs with < n tokens yield a
+    negative-length slice, so CALLERS must gate on size(toks) >= n and
+    pick their own short-doc fallback (``shingles`` degrades to the
+    whole-doc join, ``substring_anchors`` emits nothing).  The ONE gram
+    builder shared by both (r6 review)."""
+    m = F.size(toks) - (n - 1)  # number of n-grams
     grams = F.slice(toks, n, m)
     for j in range(n - 1, 0, -1):
         grams = F.zip_with(
             F.slice(toks, j, m), grams, lambda a, b: F.concat(a, F.lit("_"), b)
         )
-    grams = F.when(k >= n, grams).otherwise(F.array(F.array_join(toks, "_")))
+    return grams
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams, '_'-joined (the shared
+    ``_gram_chain`` builder).
+
+    Docs with < n tokens emit their full token join as the single shingle
+    (so short docs still participate).
+    """
+    toks = tokens_col(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= n, _gram_chain(toks, n)
+    ).otherwise(F.array(F.array_join(toks, "_")))
     return (
         documents.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .where(F.col("shingle") != "")
@@ -885,14 +895,9 @@ def substring_anchors(
     ~k * mod tokens).
     """
     toks = tokens_col(F.col("text"))
-    n = F.size(toks)
-    m = n - (k - 1)
-    grams = F.slice(toks, k, m)
-    for j in range(k - 1, 0, -1):
-        grams = F.zip_with(
-            F.slice(toks, j, m), grams, lambda a, b: F.concat(a, F.lit("_"), b)
-        )
-    grams = F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+    grams = F.when(
+        F.size(toks) >= k, _gram_chain(toks, k)
+    ).otherwise(F.array().cast("array<string>"))
     h32 = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
     return (
         documents.select(

@@ -349,14 +349,16 @@ def train_ivf_centroids(
     ]
 
 
-def assign_centroids(embeddings: DataFrame, cents: list) -> DataFrame:
-    """(vec_id, cid) — coarse-quantizer list assignment for EVERY vector in
-    one scan of pure column expressions: the K centroids ship as literal
-    arrays, the argmax score <q(e), S_c> / |S_c| is an exact BIGINT dot
-    over the quantized embedding (the row's own norm cancels across
-    centroids), and ties break first-max = lowest cid.  No join, no
-    shuffle, no Python — the 10^9-vector side never moves.  Shared by
-    ``ivf_topk`` (inverted lists) and ``semdedup`` (cluster-then-dedup)."""
+def centroid_cid_expr(cents: list) -> str:
+    """SQL expression (over a quantized-embedding column named ``qe``)
+    assigning the nearest-centroid id: the K centroids ship as literal
+    arrays, the argmax score <qe, S_c> / |S_c| is an exact BIGINT dot
+    (the row's own norm cancels across centroids), and ties break
+    first-max = lowest cid.  Pure column expression — no join, no
+    shuffle, no Python; callers attach it to whatever projection they
+    already carry (``assign_centroids`` for a bare (vec_id, cid) frame,
+    ``semdedup`` inline next to the float payload so the vectors never
+    take an extra vec_id self-join shuffle — r6 review)."""
 
     def score_sql(svec: list, nrm: float) -> str:
         arr = ",".join(f"{int(x)}L" for x in svec)
@@ -369,10 +371,15 @@ def assign_centroids(embeddings: DataFrame, cents: list) -> DataFrame:
     cos_arr = "array(" + ",".join(score_sql(s, nrm) for (_c, s, nrm) in cents) + ")"
     # argmax with first-max (lowest cid) tie rule — bit-identical scores on
     # both engines make the tie rule the ONLY ordering decision
-    cid_expr = f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
+    return f"CAST(array_position({cos_arr}, array_max({cos_arr})) - 1 AS INT)"
+
+
+def assign_centroids(embeddings: DataFrame, cents: list) -> DataFrame:
+    """(vec_id, cid) — coarse-quantizer list assignment for EVERY vector in
+    one scan (see ``centroid_cid_expr``).  Used by ``ivf_topk``."""
     return embeddings.select(
         "vec_id", F.expr(_QUANT_SQL).alias("qe")
-    ).select("vec_id", F.expr(cid_expr).alias("cid"))
+    ).select("vec_id", F.expr(centroid_cid_expr(cents)).alias("cid"))
 
 
 def semdedup(
@@ -396,19 +403,35 @@ def semdedup(
     iterative component resolution is needed and the oracle replays the
     verdict row for row.  Zero vectors are excluded (no cosine).
 
-    Scale shape: the within-cluster pair join shuffles on cid — cluster
-    sizes are ~N/K by construction and the paper's prescription is to
-    scale K with N (cluster size is the quadratic knob, exactly as its
-    GPU implementation batches per cluster); the join is a plain
-    sort-merge on cid, so AQE skew-join splitting covers an unbalanced
-    cluster.  Returns (vec_id, cid, is_keeper) ordered by vec_id.
+    Scale shape: cid is computed INLINE next to the float payload in the
+    same one-scan projection (``centroid_cid_expr`` — never a vec_id
+    self-join to glue assignment back onto the vectors; r6 review), so
+    the embeddings shuffle exactly once, on cid, for the within-cluster
+    pair join.  Cluster sizes are ~N/K by construction and the paper's
+    prescription is to scale K with N (cluster size is the quadratic
+    knob, exactly as its GPU implementation batches per cluster); the
+    join is a plain sort-merge on cid, so AQE skew-join splitting covers
+    an unbalanced cluster.  The assignment projection is re-derived per
+    plan branch (3 column-pruned scans — map-only, the cap_hot_buckets
+    trade: recompute cheap map work rather than persist the corpus); at
+    100 TB write it to a landing table first and semdedup the result.
+    Returns (vec_id, cid, is_keeper) ordered by vec_id.
     """
     cents = train_ivf_centroids(embeddings, n_centroids, n_iter, sample_mod, max_train)
-    base = embeddings.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
-    ).where(F.col("nrm") > 0)
-    assign = assign_centroids(embeddings, cents).join(
-        base.select("vec_id", "embedding", "nrm"), "vec_id"
+    assign = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            _norm(F.col("embedding")).alias("nrm"),
+            F.expr(_QUANT_SQL).alias("qe"),
+        )
+        .where(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.expr(centroid_cid_expr(cents)).alias("cid"),
+        )
     )
     a = assign.alias("a")
     b = assign.alias("b")

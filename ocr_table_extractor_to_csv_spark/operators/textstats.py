@@ -440,9 +440,15 @@ def quality_classifier(
                     (gpos, gcnt) over the same stream;
       token vote  = +1 if pos_b * gcnt > gpos * cnt_b (the bucket's
                     positive rate exceeds the global rate — CROSS-
-                    MULTIPLIED, so the comparison is exact integer and
-                    free of smoothing bias), -1 if below, 0 on equality
-                    or unseen bucket;
+                    MULTIPLIED, free of smoothing bias), -1 if below,
+                    0 on equality or unseen bucket.  The products are
+                    computed as IEEE DOUBLES on both engines: int64
+                    products overflow silently at the 100 TB profile
+                    (pos*gcnt ~ 1e22 >> 2^63), while double
+                    multiplication is identically rounded in Spark and
+                    DuckDB, so parity holds at every scale — and below
+                    2^53 (any test/sandbox scale) the doubles ARE the
+                    exact integers;
       doc vote    = sum of token votes; pred = vote >= 0.
 
     No logs (not correctly rounded across libms), no fixed-point ratio
@@ -480,14 +486,20 @@ def quality_classifier(
         F.sum("label").cast("long").alias("pos"),
         F.count("*").alias("cnt"),
     )
-    glob = train.agg(
-        F.sum("label").cast("long").alias("gpos"),
-        F.count("*").alias("gcnt"),
+    # the global rate is the column sum of the bounded stats table — NOT a
+    # second aggregate over the corpus token stream (r6 review: that was a
+    # third full corpus scan for two numbers derivable from <= n_buckets
+    # rows)
+    glob = stats.agg(
+        F.sum("pos").alias("gpos"),
+        F.sum("cnt").alias("gcnt"),
     )
+    lhs = F.col("pos").cast("double") * F.col("gcnt").cast("double")
+    rhs = F.col("gpos").cast("double") * F.col("cnt").cast("double")
     vote = (
         F.when(F.col("pos").isNull(), F.lit(0))
-        .when(F.col("pos") * F.col("gcnt") > F.col("gpos") * F.col("cnt"), F.lit(1))
-        .when(F.col("pos") * F.col("gcnt") < F.col("gpos") * F.col("cnt"), F.lit(-1))
+        .when(lhs > rhs, F.lit(1))
+        .when(lhs < rhs, F.lit(-1))
         .otherwise(F.lit(0))
     )
     return (

@@ -1518,6 +1518,11 @@ def test_semdedup_exact_duplicate_dropped_keeper_kept(spark):
                 for r in similarity.semdedup(emb).collect()}
     first = emb.orderBy("vec_id").limit(1).collect()[0]
     clone_id = max(base_out) + 1_000_000
+    # keep the clone OUT of the IVF training sample (vec_id % sample_mod
+    # == 0 would admit it, shift the Lloyd sums, and invalidate the
+    # 'twin verdict unchanged' assertion on regenerated fixtures)
+    while clone_id % similarity.IVF_SAMPLE_MOD == 0:
+        clone_id += 1
     clone = spark.createDataFrame(
         [(clone_id, first.embedding)], emb.select("vec_id", "embedding").schema
     )

@@ -500,3 +500,26 @@ def test_mix_sample_plan_broadcasts_to_corpus(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_exactly_two_joins_no_window(spark):
+    """semdedup's cid must be computed INLINE in the scan projection
+    (centroid_cid_expr), never glued onto the vectors via a vec_id
+    self-join: the plan has exactly TWO joins — the within-cluster pair
+    join (the one payload shuffle, on cid) and the id-only keeper-verdict
+    join — plus zero windows and zero Python nodes.  A third join means
+    the assignment join-back regressed (r6 review: it doubled shuffle
+    volume and tripled the embedding scan payload)."""
+    import re
+
+    from ocr_table_extractor_to_csv_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) - 2.0 for j in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = _formatted(spark, sim.semdedup(emb, n_centroids=4))
+    joins = re.findall(r"\(\d+\) \w*Join", plan)
+    assert len(joins) == 2, joins
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
