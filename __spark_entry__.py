@@ -2878,6 +2878,181 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_extract_grid4(spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# round-6 (late) web-curation gates: gopher_rules / url_filter / domain_cap
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ",".join(f"'{w}'" for w in textstats.GOPHER_STOPWORDS)
+_GATE_FLAGS = [
+    "word_count_ok", "mean_len_ok", "symbol_ok", "bullet_ok",
+    "ellipsis_ok", "alpha_ok", "stop_ok", "keep",
+]
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality gates (Rae et al. 2021 A1.1) at the
+    paper's published thresholds: per-doc signals + one flag per rule +
+    the conjunction verdict.  Map-only, zero shuffle — the first content
+    gate in the curation ladder.  Flags cast to INT for the gate
+    canonicalizer (no boolean output precedent; same caution as the r5
+    array lesson)."""
+    g = textstats.gopher_rules(_docs(spark, sf_dir))
+    keep = [c for c in g.columns if c not in _GATE_FLAGS]
+    return g.select(
+        *keep, *[F.col(c).cast("int").alias(c) for c in _GATE_FLAGS]
+    )
+
+
+ORACLE_GOPHER_RULES = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS ts FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(ts) AS INT) AS n_words,
+    CAST(greatest(1, len(ts)) AS DOUBLE) AS dw,
+    CAST(COALESCE(list_sum(list_transform(ts, x -> length(x))), 0) AS DOUBLE)
+      AS wlen,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) AS nsym,
+    string_split(text, chr(10)) AS ls,
+    CAST(len(list_filter(ts, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      AS nalpha,
+    CAST(len(list_filter(ts, x -> x IN ({_GOPHER_STOPS}))) AS INT)
+      AS stop_hits
+  FROM t
+), s2 AS (
+  SELECT doc_id, n_words, stop_hits,
+    wlen / dw AS mean_len,
+    nsym / dw AS sym,
+    CAST(len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]')))
+         AS DOUBLE) / greatest(1, len(ls)) AS bul,
+    CAST(len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+         AS DOUBLE) / greatest(1, len(ls)) AS ell,
+    nalpha / dw AS alpha
+  FROM s
+)
+SELECT doc_id, n_words,
+  round(mean_len, 5) AS mean_word_len,
+  round(sym, 5) AS symbol_ratio,
+  round(bul, 5) AS bullet_line_ratio,
+  round(ell, 5) AS ellipsis_line_ratio,
+  round(alpha, 5) AS alpha_word_ratio,
+  stop_hits,
+  CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS word_count_ok,
+  CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS mean_len_ok,
+  CAST(sym <= 0.1 AS INT) AS symbol_ok,
+  CAST(bul <= 0.9 AS INT) AS bullet_ok,
+  CAST(ell <= 0.3 AS INT) AS ellipsis_ok,
+  CAST(alpha >= 0.8 AS INT) AS alpha_ok,
+  CAST(stop_hits >= 2 AS INT) AS stop_ok,
+  CAST(n_words >= 50 AND n_words <= 100000
+       AND mean_len >= 3.0 AND mean_len <= 10.0
+       AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3
+       AND alpha >= 0.8 AND stop_hits >= 2 AS INT) AS keep
+FROM s2
+"""
+
+
+# driver-row url_filter operating point, chosen so every rule discriminates
+# on the synthetic URL bytes: the utm bit trips max_params=1, the two-digit
+# srcNN hosts trip the 0.1 digit ratio, and two hosts are blocklisted
+_URLF_BLOCKLIST = ["src3.example.com", "src7.example.com"]
+_URLF_FLAGS = [
+    "host_blocked", "banned_hit", "too_many_params",
+    "path_too_deep", "digit_host", "keep",
+]
+
+
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb-style URL-level gate: blocklist (broadcast join), spam
+    substrings, raw-param overload, path-trap depth, digit-heavy hosts —
+    the only curation gate costing zero content bytes, so it runs first.
+    Synthetic URL column as in url_dedup (oracle reproduces the bytes)."""
+    from ocr_table_extractor_to_csv_spark.operators.weburl import (
+        url_filter,
+        with_synth_url,
+    )
+
+    out = url_filter(
+        with_synth_url(_docs(spark, sf_dir)),
+        blocklist_hosts=_URLF_BLOCKLIST,
+        max_params=1,
+        max_path_depth=8,
+        max_host_digit_ratio=0.1,
+    )
+    keep = [c for c in out.columns if c not in _URLF_FLAGS]
+    return out.select(
+        *keep, *[F.col(c).cast("int").alias(c) for c in _URLF_FLAGS]
+    )
+
+
+_URLF_BLOCK_SQL = ",".join(f"'{h}'" for h in _URLF_BLOCKLIST)
+
+ORACLE_URL_FILTER = f"""
+WITH {_URL_CANON_CTES},
+parts2 AS (
+  SELECT doc_id, url,
+    regexp_extract(canon_url, '^[^:/?#]+://([^/?#]*)', 1) AS host,
+    regexp_extract(canon_url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS rq
+  FROM canon
+), f AS (
+  SELECT doc_id, host,
+    CAST(CASE WHEN rq = '' THEN 0
+              ELSE len(string_split(rq, '&')) END AS INT) AS n_params,
+    CAST(len(list_filter(string_split(path, '/'), s -> s <> '')) AS INT)
+      AS path_depth,
+    CAST(length(regexp_replace(host, '[^0-9]', '', 'g')) AS DOUBLE)
+      / greatest(1, length(host)) AS dr,
+    regexp_matches(lower(url), 'casino|viagra|porn|xxx') AS banned,
+    host IN ({_URLF_BLOCK_SQL}) AS blocked
+  FROM parts2
+)
+SELECT doc_id, host, n_params, path_depth,
+  round(dr, 5) AS host_digit_ratio,
+  CAST(blocked AS INT) AS host_blocked,
+  CAST(banned AS INT) AS banned_hit,
+  CAST(n_params > 1 AS INT) AS too_many_params,
+  CAST(path_depth > 8 AS INT) AS path_too_deep,
+  CAST(dr > 0.1 AS INT) AS digit_host,
+  CAST(NOT (blocked OR banned OR n_params > 1 OR path_depth > 8
+            OR dr > 0.1) AS INT) AS keep
+FROM f
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (anti-SEO-farm): exact min-10-doc_ids per
+    canonical host via the salted two-phase rank — phase 1 windows on
+    (host, salt) so no task sorts a whole viral domain, phase 2 re-ranks
+    the <= salt_mod x cap survivors.  Oracle is the plain ROW_NUMBER
+    formulation the two-phase shape provably equals."""
+    from ocr_table_extractor_to_csv_spark.operators.weburl import (
+        domain_cap,
+        with_synth_url,
+    )
+
+    return domain_cap(
+        with_synth_url(_docs(spark, sf_dir)), cap=10, salt_mod=4
+    )
+
+
+ORACLE_DOMAIN_CAP = f"""
+WITH {_URL_CANON_CTES},
+h AS (
+  SELECT doc_id,
+    regexp_extract(canon_url, '^[^:/?#]+://([^/?#]*)', 1) AS host
+  FROM canon
+), r AS (
+  SELECT host, doc_id,
+    CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS INT)
+      AS domain_rank
+  FROM h
+)
+SELECT host, doc_id, domain_rank
+FROM r WHERE domain_rank <= 10
+ORDER BY host, domain_rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is the ROTATION POLICY (r5 verdict #3): the external
     # driver records at most ~50 rows per round, so ordering decides which
@@ -2891,6 +3066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally regardless (plus tools/self_correctness.py at two SFs).
     return {
         # -- (1) new in r6 / red in r5 --
+        "gopher_rules": q_gopher_rules,
+        "url_filter": q_url_filter,
+        "domain_cap": q_domain_cap,
         "substring_dedup": q_substring_dedup,
         "quality_classifier": q_quality_classifier,
         "semdedup": q_semdedup,
@@ -3005,6 +3183,9 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_full_v2": _oracle_pipeline_v2(),
         "pipeline_full_v3": _oracle_pipeline_v3(),
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+        "gopher_rules": ORACLE_GOPHER_RULES,
+        "url_filter": ORACLE_URL_FILTER,
+        "domain_cap": ORACLE_DOMAIN_CAP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "semdedup": _oracle_semdedup(),
         "mix_sample": _oracle_mix_sample(),

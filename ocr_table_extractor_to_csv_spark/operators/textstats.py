@@ -586,3 +586,112 @@ def mix_sample(
         )
         .orderBy("doc_id", "copy")
     )
+
+
+# Gopher's document-quality stop list (Rae et al. 2021, appendix A1.1) —
+# deliberately NOT the lang-id STOPWORDS set above: the paper's rule counts
+# hits of exactly these eight words.  Frozen, shared with the SQL oracle.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# symbol-to-word numerator: '#' or a literal '...' (the paper's two "symbol"
+# forms).  Left-to-right non-overlapping matching is identical in Java
+# (Spark) and RE2 (DuckDB), so '....' counts one '...' in both engines.
+GOPHER_SYMBOL_RE = r"#|\.\.\."
+# a bullet line starts (after left-trim) with -, * or the bullet glyph;
+# an ellipsis line ends (after right-trim) with '...' or the … glyph
+GOPHER_BULLET_RE = r"^[-*•]"
+GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+
+def gopher_rules(
+    documents: DataFrame,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher rule-based document quality gates (Rae et al. 2021, A1.1)
+    as one map-only pass: per-document signals, one boolean per rule, and
+    the conjunction verdict ``keep``.
+
+    The defaults are the paper's published thresholds.  Signals are the
+    paper's: word count bounds, mean-word-length bounds, symbol-to-word
+    ratio ('#' / '...'), bullet-start and ellipsis-end line ratios,
+    fraction of words with an alphabetic character, and a minimum hit
+    count of eight specific stopwords (:data:`GOPHER_STOPWORDS`).
+
+    Flags compare UNROUNDED doubles to the thresholds (both engines do
+    the same IEEE division); the reported ratio columns are rounded to
+    5 dp only for display/hash stability.
+
+    Scale shape: pure column expressions over one corpus scan — no
+    shuffle, no Python.  At 100 TB this is the cheapest content gate in
+    the curation ladder and runs first (together with lang-id) before
+    any dedup pass; a typical web crawl loses double-digit percent of
+    documents here, shrinking every downstream shuffle.
+
+    No reference analogue (the reference curates OCR tables, not web
+    text); semantics follow the cited paper.
+    """
+    toks = tokens_col(F.col("text"))
+    n_words = F.size(toks)
+    d_words = F.greatest(F.lit(1), n_words).cast("double")
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / d_words
+    )
+    symbol_ratio = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(GOPHER_SYMBOL_RE), F.lit(0)))
+        / d_words
+    )
+    # '' splits to [''] in both engines: a doc is always >= 1 line
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.greatest(F.lit(1), F.size(lines)).cast("double")
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(GOPHER_BULLET_RE)))
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(GOPHER_ELLIPSIS_RE)))
+        / n_lines
+    )
+    alpha_ratio = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / d_words
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_len_ok = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    symbol_ok = symbol_ratio <= max_symbol_ratio
+    bullet_ok = bullet_ratio <= max_bullet_line_ratio
+    ellipsis_ok = ellipsis_ratio <= max_ellipsis_line_ratio
+    alpha_ok = alpha_ratio >= min_alpha_word_ratio
+    stop_ok = stop_hits >= min_stop_hits
+
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 5).alias("mean_word_len"),
+        F.round(symbol_ratio, 5).alias("symbol_ratio"),
+        F.round(bullet_ratio, 5).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 5).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 5).alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (
+            word_count_ok & mean_len_ok & symbol_ok & bullet_ok
+            & ellipsis_ok & alpha_ok & stop_ok
+        ).alias("keep"),
+    )

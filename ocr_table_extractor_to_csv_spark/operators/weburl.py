@@ -168,3 +168,161 @@ def url_keepers(documents_with_url: DataFrame, url_col: str = "url") -> DataFram
         .select("doc_id")
     )
     return keepers.unionByName(keyless.select("doc_id"))
+
+
+# URL-spam substring list (RefinedWeb/FineWeb-style adult+spam URL
+# filtering uses a curated word list; this frozen stand-in keeps the regex
+# bounded and shared with the SQL oracle).  Matched case-insensitively
+# against the RAW url.
+BANNED_URL_WORDS = ["casino", "viagra", "porn", "xxx"]
+
+
+def _canon_parts(url_col: str):
+    """(host, path) column expressions over the canonical URL — the
+    split the filter rules score on."""
+    c = canonicalize_url(F.col(url_col))
+    host = F.regexp_extract(c, r"^[^:/?#]+://([^/?#]*)", 1)
+    path = F.regexp_extract(c, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    return host, path
+
+
+def url_filter(
+    documents_with_url: DataFrame,
+    blocklist_hosts: list[str] | None = None,
+    *,
+    url_col: str = "url",
+    max_params: int = 4,
+    max_path_depth: int = 8,
+    max_host_digit_ratio: float = 0.25,
+) -> DataFrame:
+    """URL-level document filtering — the RefinedWeb-style gate that runs
+    before any content is even parsed: per-document URL signals, one
+    boolean per rule, and the conjunction verdict ``keep``.
+
+    Rules (each also surfaced as its own flag column):
+
+    * ``host_blocked`` — canonical host appears in ``blocklist_hosts``
+      (real pipelines carry ~10^6-row curated blocklists: modeled as a
+      BROADCAST left join, never a literal ``isin`` — the list is data,
+      not code)
+    * ``banned_hit`` — the RAW url contains a :data:`BANNED_URL_WORDS`
+      substring (case-insensitive; raw, because spam keywords often ride
+      in the query/fragment that canonicalization strips)
+    * ``too_many_params`` — more than ``max_params`` RAW query params
+      (tracking-parameter overload is itself a spam signal, so the raw
+      count is scored even though canonicalization drops ``utm_*``)
+    * ``path_too_deep`` — more than ``max_path_depth`` non-empty path
+      segments (calendar/faceted-navigation crawler traps)
+    * ``digit_host`` — digit fraction of the host above
+      ``max_host_digit_ratio`` (throwaway spam domains)
+
+    Scale shape: map-only column expressions + ONE broadcast join for the
+    blocklist; no corpus shuffle.  Runs with (before) gopher_rules in the
+    curation ladder — it is the only gate that costs zero content bytes.
+    No reference analogue; semantics follow published web-curation
+    pipelines (RefinedWeb, FineWeb).
+    """
+    spark = documents_with_url.sparkSession
+    host, path = _canon_parts(url_col)
+    raw = F.col(url_col)
+    raw_query = F.regexp_extract(raw, r"\?([^#]*)", 1)
+    n_params = F.when(raw_query == "", F.lit(0)).otherwise(
+        F.size(F.split(raw_query, "&"))
+    )
+    path_depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    digit_ratio = F.length(F.regexp_replace(host, r"[^0-9]", "")) / F.greatest(
+        F.lit(1), F.length(host)
+    ).cast("double")
+    banned_hit = F.lower(raw).rlike("|".join(BANNED_URL_WORDS))
+
+    scored = documents_with_url.select(
+        "doc_id",
+        host.alias("host"),
+        n_params.alias("n_params"),
+        path_depth.alias("path_depth"),
+        F.round(digit_ratio, 5).alias("host_digit_ratio"),
+        banned_hit.alias("banned_hit"),
+        (n_params > max_params).alias("too_many_params"),
+        (path_depth > max_path_depth).alias("path_too_deep"),
+        (digit_ratio > max_host_digit_ratio).alias("digit_host"),
+    )
+    block = spark.createDataFrame(
+        [(h,) for h in sorted(set(blocklist_hosts or []))], "host string"
+    ).withColumn("_blocked", F.lit(True))
+    scored = scored.join(F.broadcast(block), "host", "left").withColumn(
+        "host_blocked", F.coalesce(F.col("_blocked"), F.lit(False))
+    )
+    return scored.select(
+        "doc_id",
+        "host",
+        "n_params",
+        "path_depth",
+        "host_digit_ratio",
+        "host_blocked",
+        "banned_hit",
+        "too_many_params",
+        "path_too_deep",
+        "digit_host",
+        (
+            ~F.col("host_blocked")
+            & ~F.col("banned_hit")
+            & ~F.col("too_many_params")
+            & ~F.col("path_too_deep")
+            & ~F.col("digit_host")
+        ).alias("keep"),
+    )
+
+
+def domain_cap(
+    documents_with_url: DataFrame,
+    cap: int = 20,
+    *,
+    url_col: str = "url",
+    salt_mod: int = 8,
+) -> DataFrame:
+    """Per-domain document cap: keep the ``cap`` smallest ``doc_id``s of
+    every canonical host (deterministic on any partitioning), returning
+    (host, doc_id, domain_rank).  The web-scale anti-boilerplate /
+    anti-SEO-farm measure: one domain contributing 10^8 near-identical
+    pages must not dominate the training mix.
+
+    Exact two-phase min-k, skew-safe by construction:
+
+    * phase 1 ranks within (host, doc_id % salt_mod) — the SALT bounds
+      every window partition to ~1/salt_mod of the hottest domain, so no
+      single task sorts a whole viral domain (the repo's window-over-
+      hot-key rule; the window sort itself is spillable)
+    * phase 2 re-ranks the survivors within host — input is pre-capped
+      at salt_mod x cap rows per host, so the host-keyed window is
+      bounded by CONSTRUCTION, not by data (documented exception to the
+      no-data-skewed-window pin)
+
+    The union of per-salt min-k sets contains the global min-k, so the
+    result is exactly ROW_NUMBER() OVER (PARTITION BY host ORDER BY
+    doc_id) <= cap (the oracle's formulation).  At 100 TB: shuffled
+    bytes are (host, salt, doc_id) triples — no payload moves; pick
+    salt_mod ~ max_domain_docs / 10^6 so phase-1 partitions stay
+    executor-sized.
+
+    Documents whose URL has no scheme:// (canonical host = '') group
+    under the '' host and are capped together — callers that want them
+    exempt should pre-filter.  No reference analogue.
+    """
+    from pyspark.sql import Window
+
+    host, _ = _canon_parts(url_col)
+    ids = documents_with_url.select("doc_id", host.alias("host"))
+    w1 = Window.partitionBy("host", "_salt").orderBy("doc_id")
+    local = (
+        ids.withColumn("_salt", (F.col("doc_id") % salt_mod).cast("int"))
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= cap)
+    )
+    # bounded window: <= salt_mod * cap rows per host by construction
+    w2 = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        local.select("host", "doc_id")
+        .withColumn("domain_rank", F.row_number().over(w2))
+        .where(F.col("domain_rank") <= cap)
+        .orderBy("host", "domain_rank")
+    )

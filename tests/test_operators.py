@@ -1558,3 +1558,132 @@ def test_mix_sample_integer_and_fractional_epochs(spark):
     half = mix_sample(docs, budget_tokens=200, weights={"src_a": 1.0}).collect()
     kept = {r.doc_id for r in half}
     assert 0 < len(kept) < 40 and all(r.copy == 1 for r in half)
+
+
+def test_gopher_rules_hand_cases(spark):
+    """Each Gopher rule (Rae et al. 2021 A1.1) exercised by a crafted doc;
+    the all-pass doc sits ON the mean-word-len lower boundary (3.0) so the
+    >= comparison itself is pinned."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import gopher_rules
+
+    base = "the be to of and that have with "  # 8 stopwords, mean len 3.0
+    docs = spark.createDataFrame(
+        [
+            (0, base * 7),                         # 56 words -> keep
+            (1, "the be to of"),                   # word count + mean len fail
+            (2, "\n".join(["- item " + base] * 10)),   # bullet ratio 1.0
+            (3, "\n".join([base + "more..."] * 10)),   # ellipsis ratio 1.0
+            (4, base * 7 + " ".join(["#"] * 8)),   # symbols 8/64 > 0.1
+            (5, base + " ".join(str(n) for n in range(48))),  # alpha 8/56
+            (6, "zz " * 55),                       # stop hits 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+
+    assert out[0]["keep"] and out[0]["n_words"] == 56
+    assert out[0]["mean_word_len"] == 3.0 and out[0]["mean_len_ok"]
+    assert out[0]["stop_hits"] == 56
+
+    assert not out[1]["word_count_ok"] and not out[1]["mean_len_ok"]
+    assert out[1]["stop_ok"] and not out[1]["keep"]
+
+    assert out[2]["bullet_line_ratio"] == 1.0 and not out[2]["bullet_ok"]
+    assert out[3]["ellipsis_line_ratio"] == 1.0 and not out[3]["ellipsis_ok"]
+    # the trailing '...' also counts as a symbol; doc 3 still fails only
+    # via rules we assert, keep stays False
+    assert not out[3]["keep"]
+
+    assert out[4]["symbol_ratio"] == pytest.approx(8 / 64) and not out[4]["symbol_ok"]
+    assert not out[5]["alpha_ok"] and out[5]["alpha_word_ratio"] == pytest.approx(
+        8 / 56, abs=1e-5
+    )
+    assert out[6]["stop_hits"] == 0 and not out[6]["stop_ok"] and not out[6]["keep"]
+
+
+def test_url_filter_hand_cases(spark):
+    """One crafted URL per rule; thresholds tightened so each flag flips
+    exactly where intended."""
+    from ocr_table_extractor_to_csv_spark.operators.weburl import url_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "http://ok.example.com/a/b?x=1"),
+            (1, "http://bad.example.com/a"),
+            (2, "http://ok.example.com/a?p1=1&p2=2&p3=3"),
+            (3, "http://ok.example.com/a/b/c/d/e"),
+            (4, "http://spin-casino.example.com/x"),
+            (5, "http://123456.example.com/x"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in url_filter(
+            docs,
+            ["bad.example.com"],
+            max_params=2,
+            max_path_depth=3,
+            max_host_digit_ratio=0.25,
+        ).collect()
+    }
+    assert out[0]["keep"] and out[0]["n_params"] == 1 and out[0]["path_depth"] == 2
+    assert out[1]["host_blocked"] and not out[1]["keep"]
+    assert out[2]["too_many_params"] and out[2]["n_params"] == 3
+    assert out[3]["path_too_deep"] and out[3]["path_depth"] == 5
+    assert out[4]["banned_hit"] and not out[4]["keep"]
+    assert out[5]["digit_host"] and out[5]["host_digit_ratio"] == pytest.approx(
+        6 / len("123456.example.com"), abs=1e-5
+    )
+    for i in range(1, 6):
+        assert not out[i]["keep"]
+
+
+def test_domain_cap_hand_case_and_window_equivalence(spark):
+    """Two-phase salted min-k == plain ROW_NUMBER()<=cap: a hand case with
+    an uneven host, then equivalence against the window reference on the
+    synth-URL corpus (the shape the oracle uses)."""
+    from pyspark.sql import Window
+
+    from ocr_table_extractor_to_csv_spark.operators.weburl import (
+        canonicalize_url,
+        domain_cap,
+        with_synth_url,
+    )
+
+    rows = [(i, "http://a.com/p") for i in range(10)] + [
+        (100 + i, "https://b.com/q") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = [
+        (r["host"], r["doc_id"], r["domain_rank"])
+        for r in domain_cap(docs, cap=3, salt_mod=2).collect()
+    ]
+    assert got == [
+        ("a.com", 0, 1), ("a.com", 1, 2), ("a.com", 2, 3),
+        ("b.com", 100, 1), ("b.com", 101, 2), ("b.com", 102, 3),
+    ]
+
+    synth = with_synth_url(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    cap = 4
+    ref = (
+        synth.select(
+            "doc_id",
+            F.regexp_extract(
+                canonicalize_url(F.col("url")), r"^[^:/?#]+://([^/?#]*)", 1
+            ).alias("host"),
+        )
+        .withColumn(
+            "domain_rank",
+            F.row_number().over(Window.partitionBy("host").orderBy("doc_id")),
+        )
+        .where(F.col("domain_rank") <= cap)
+    )
+    got2 = {
+        (r["host"], r["doc_id"], r["domain_rank"])
+        for r in domain_cap(synth, cap=cap, salt_mod=3).collect()
+    }
+    want = {(r["host"], r["doc_id"], r["domain_rank"]) for r in ref.collect()}
+    assert got2 == want

@@ -523,3 +523,62 @@ def test_semdedup_exactly_two_joins_no_window(spark):
     assert len(joins) == 2, joins
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_rules_map_only(spark):
+    """gopher_rules is the first content gate at 100 TB: it must be pure
+    column expressions — zero exchange, zero window, zero Python."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import gopher_rules
+
+    docs = spark.createDataFrame(
+        [(i, "the be to of and that have with more") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _formatted(spark, gopher_rules(docs))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_filter_broadcasts_blocklist_corpus_never_shuffles(spark):
+    """The blocklist is DATA (10^6-row curated lists in real pipelines):
+    it must arrive as a BroadcastHashJoin build side; the corpus side
+    must not hash-shuffle and no Python may appear."""
+    from ocr_table_extractor_to_csv_spark.operators.weburl import (
+        url_filter,
+        with_synth_url,
+    )
+
+    docs = with_synth_url(
+        spark.createDataFrame(
+            [(i, f"t{i}", "src%d" % (i % 3)) for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+    )
+    plan = _formatted(spark, url_filter(docs, ["src0.example.com"]))
+    assert "BroadcastHashJoin" in plan, "blocklist join must broadcast"
+    assert "Exchange hashpartitioning" not in plan, "corpus must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_cap_first_window_is_salted(spark):
+    """domain_cap's phase-1 window must include the salt in its partition
+    spec (bounding every window partition to ~1/salt_mod of the hottest
+    domain); the host-only window is legal ONLY because its input is
+    pre-capped at salt_mod x cap rows per host.  Pin: exactly two Window
+    nodes and the salt column appears in the plan's partition specs."""
+    from ocr_table_extractor_to_csv_spark.operators.weburl import (
+        domain_cap,
+        with_synth_url,
+    )
+
+    docs = with_synth_url(
+        spark.createDataFrame(
+            [(i, f"t{i}", "src%d" % (i % 3)) for i in range(30)],
+            "doc_id long, text string, source string",
+        )
+    )
+    plan = _formatted(spark, domain_cap(docs, cap=3, salt_mod=4))
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan, "phase-1 window lost its salt"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
