@@ -3053,6 +3053,63 @@ ORDER BY host, domain_rank
 """
 
 
+# --- normalize_text ------------------------------------------------------
+# The testdata documents are plain ASCII, so (PII-oracle convention) a
+# deterministic unicode-noise suffix is attached on BOTH sides to exercise
+# every NORMALIZE_RULES entry: NBSP, curly quotes, en dash, ellipsis glyph,
+# CRLF runs, tab, a control char, trailing space.
+_NORM_NOISE_SPARK = lambda: F.concat(  # noqa: E731
+    F.col("text"),
+    F.lit("  “q"),
+    F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+    F.lit("” – it’s …\r\n\r\n\r\n\te n d\x01 "),
+)
+
+_NORM_NOISE_SQL = (
+    "text || chr(160) || ' “q' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '” – it' || chr(8217) || 's …' || chr(13)||chr(10)||chr(13)||chr(10)"
+    "||chr(13)||chr(10) || chr(9) || 'e n d' || chr(1) || ' '"
+)
+
+
+def _sql_q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# the oracle's replace chain is GENERATED from the operator's frozen rule
+# list — one spec, two engines (patterns are Java-regex/RE2-common by
+# construction; DuckDB '...' literals keep backslashes raw, same bytes the
+# Spark side passes to Java regex)
+_NORM_CHAIN_SQL = "text"
+for _pat, _rep in textstats.NORMALIZE_RULES:
+    _NORM_CHAIN_SQL = (
+        f"regexp_replace({_NORM_CHAIN_SQL}, {_sql_q(_pat)}, {_sql_q(_rep)}, 'g')"
+    )
+
+
+def q_normalize_text(spark, sf_dir):
+    """C4/ftfy-style unicode+whitespace normalization: fold punctuation
+    look-alikes to ASCII, drop control chars, normalize CRLF, collapse
+    whitespace/blank-line runs, trim.  Map-only, zero shuffle — runs
+    between extraction and fingerprinting so dedup sees one spelling of
+    each page.  `changed` cast to INT (gate-canonicalizer convention)."""
+    docs = _docs(spark, sf_dir).withColumn("text", _NORM_NOISE_SPARK())
+    return textstats.normalize_text(docs).withColumn(
+        "changed", F.col("changed").cast("int")
+    )
+
+
+ORACLE_NORMALIZE_TEXT = f"""
+WITH d AS (SELECT doc_id, {_NORM_NOISE_SQL} AS text FROM documents),
+n AS (SELECT doc_id, text, {_NORM_CHAIN_SQL} AS text_norm FROM d)
+SELECT doc_id, text_norm,
+  CAST(length(text) AS INT) AS n_chars_raw,
+  CAST(length(text_norm) AS INT) AS n_chars_norm,
+  CAST(text_norm <> text AS INT) AS changed
+FROM n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is the ROTATION POLICY (r5 verdict #3): the external
     # driver records at most ~50 rows per round, so ordering decides which
@@ -3066,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally regardless (plus tools/self_correctness.py at two SFs).
     return {
         # -- (1) new in r6 / red in r5 --
+        "normalize_text": q_normalize_text,
         "gopher_rules": q_gopher_rules,
         "url_filter": q_url_filter,
         "domain_cap": q_domain_cap,
@@ -3183,6 +3241,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_full_v2": _oracle_pipeline_v2(),
         "pipeline_full_v3": _oracle_pipeline_v3(),
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+        "normalize_text": ORACLE_NORMALIZE_TEXT,
         "gopher_rules": ORACLE_GOPHER_RULES,
         "url_filter": ORACLE_URL_FILTER,
         "domain_cap": ORACLE_DOMAIN_CAP,

@@ -695,3 +695,60 @@ def gopher_rules(
             & ellipsis_ok & alpha_ok & stop_ok
         ).alias("keep"),
     )
+
+
+# normalize_text's rule chain, applied IN ORDER (the order is part of the
+# spec: space-collapse runs after the NBSP fold so folded spaces collapse
+# too; newline-trim runs after space-collapse so only single spaces can
+# touch a newline).  Every pattern is valid and identical under Java
+# regex (Spark) and RE2 (DuckDB): literal unicode chars, character
+# classes, bounded quantifiers — no backrefs, no lookaround.  Each entry
+# is (pattern, replacement); replacements are literal chars (real
+# newlines, not escape sequences), so neither engine's rewrite-escape
+# rules are involved.
+NORMALIZE_RULES = [
+    ("[   ]", " "),            # NBSP family -> space
+    ("[‘’‚‛]", "'"),      # curly single quotes
+    ("[“”„‟]", '"'),      # curly double quotes
+    ("[‒–—―]", "-"),      # figure/en/em/horizontal dash
+    ("…", "..."),                        # ellipsis glyph
+    ("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),  # control chars (keep \t \n \r)
+    ("\r\n?", "\n"),                          # CRLF / bare CR -> LF
+    ("[ \\t]+", " "),                         # collapse space/tab runs
+    (" ?\n ?", "\n"),                         # strip single spaces around newlines
+    ("\n{3,}", "\n\n"),                       # cap blank-line runs at one
+    ("^\\s+|\\s+$", ""),                      # trim outer whitespace
+]
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """C4/ftfy-style text normalization as one map-only pass: fold unicode
+    punctuation look-alikes to ASCII (NBSP, curly quotes, dashes, the
+    ellipsis glyph), drop control characters, normalize line endings,
+    collapse whitespace runs, cap blank-line runs, and trim — the cleanup
+    every web-text pipeline runs between extraction and tokenization so
+    that dedup fingerprints and token counts see one spelling of the same
+    page.  Rule chain frozen in :data:`NORMALIZE_RULES` (shared with the
+    SQL oracle — change together or not at all).
+
+    Returns (doc_id, text_norm, n_chars_raw, n_chars_norm, changed).
+
+    Scale shape: pure sequential ``regexp_replace`` column expressions —
+    zero shuffle, zero Python, whole-stage codegen; at 100 TB this fuses
+    into the extraction scan for free.  Run BEFORE fingerprint/line_dedup
+    so near-identical pages (CRLF vs LF, NBSP vs space) dedup exactly.
+
+    No reference analogue (the reference normalizes table cells, not
+    documents — kernel/export.py covers that side); semantics follow C4
+    (Raffel et al. 2020) / ftfy-style cleanup.
+    """
+    norm = F.col("text")
+    for pat, rep in NORMALIZE_RULES:
+        norm = F.regexp_replace(norm, pat, rep)
+    return documents.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        (norm != F.col("text")).alias("changed"),
+    )

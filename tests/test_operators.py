@@ -1687,3 +1687,36 @@ def test_domain_cap_hand_case_and_window_equivalence(spark):
     }
     want = {(r["host"], r["doc_id"], r["domain_rank"]) for r in ref.collect()}
     assert got2 == want
+
+
+def test_normalize_text_hand_cases(spark):
+    """Every NORMALIZE_RULES entry pinned on crafted docs, plus the rule
+    ORDERING interactions the chain depends on: NBSP folds BEFORE the
+    space-collapse (so folded spaces collapse too), CRLF folds BEFORE the
+    blank-line cap, tab-collapse runs BEFORE newline-adjacent-space strip."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a  b"),                      # NBSP run -> ONE space
+            (1, "‘x’ “y” – z…"),  # quotes/dash/ellipsis
+            (2, "a\x01b\x1fc\x7fd"),                    # control chars dropped
+            (3, "l1\r\nl2\rl3"),                        # CRLF + bare CR -> LF
+            (4, "p1\r\n\r\n\r\n\r\np2"),                # 4 blank-line run -> one
+            (5, "  a\t\tb  \n  c  "),                   # tabs/runs/edges/trim
+            (6, ""),                                    # empty stays empty
+            (7, "already clean"),                       # changed = False
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+
+    assert out[0]["text_norm"] == "a b" and out[0]["changed"]
+    assert out[0]["n_chars_raw"] == 4 and out[0]["n_chars_norm"] == 3
+    assert out[1]["text_norm"] == "'x' \"y\" - z..."
+    assert out[2]["text_norm"] == "abcd"
+    assert out[3]["text_norm"] == "l1\nl2\nl3"
+    assert out[4]["text_norm"] == "p1\n\np2"
+    assert out[5]["text_norm"] == "a b\nc"
+    assert out[6]["text_norm"] == "" and not out[6]["changed"]
+    assert out[7]["text_norm"] == "already clean" and not out[7]["changed"]

@@ -582,3 +582,19 @@ def test_domain_cap_first_window_is_salted(spark):
     assert plan.count("Window") >= 2
     assert "_salt" in plan, "phase-1 window lost its salt"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_text_map_only(spark):
+    """normalize_text fuses into the extraction scan at 100 TB: pure
+    sequential regexp_replace column expressions — zero exchange, zero
+    window, zero Python."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [(i, "some  text\r\n\r\n\r\nmore") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _formatted(spark, normalize_text(docs))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
