@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_table_extractor_to_csv_spark.operators.extract import extract_pages
-from ocr_table_extractor_to_csv_spark.operators import dedup, similarity, textstats
+from ocr_table_extractor_to_csv_spark.operators import (
+    dedup,
+    graph,
+    similarity,
+    textstats,
+)
 from ocr_table_extractor_to_csv_spark.operators.evaluation import numeric_metrics
 from ocr_table_extractor_to_csv_spark.sources.pages import pages_from_documents
 
@@ -3110,6 +3115,67 @@ FROM n
 """
 
 
+# --- pagerank ------------------------------------------------------------
+# Fixed-point integer PageRank over the deterministic synthetic host link
+# graph (documents carry no link data; hosts = doc_id residues, two
+# out-links per doc — pure column expressions both engines reproduce).
+# All rank math is BIGINT in units of 1/PAGERANK_SCALE, so the result is
+# bit-exact on any partitioning AND identical between Spark `div` and
+# DuckDB `//` (both truncate; operands non-negative).  The oracle below is
+# GENERATED by unrolling the same iteration the Spark operator runs — one
+# spec, two engines (normalize_text convention).
+
+_PR_HOSTS = 97
+_PR_ITERS = 3
+
+
+def q_pagerank(spark, sf_dir):
+    """Host-graph centrality for domain-level quality weighting (CC host
+    ranks): 3 iterations of damped (0.85) fixed-point PageRank over the
+    synthetic host graph.  Each iteration is one equi-join of the tiny
+    rank table against the edge table + one map-side-partial groupBy —
+    the 100 TB shape (hosts ~1e8 rows vs edges ~1e10; AQE broadcasts the
+    rank side when it fits)."""
+    edges = graph.host_link_graph(_docs(spark, sf_dir), n_hosts=_PR_HOSTS)
+    return graph.pagerank(edges, iterations=_PR_ITERS)
+
+
+def _oracle_pagerank() -> str:
+    scale = graph.PAGERANK_SCALE
+    n, dn, dd = _PR_HOSTS, 85, 100
+    sql = f"""
+WITH e0 AS (
+  SELECT doc_id % {n} AS src, (doc_id * 31 + 7) % {n} AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % {n} AS src, (doc_id * 17 + 3) % {n} AS dst FROM documents
+), ew AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY src, dst
+), outw AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM ew GROUP BY src
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ew UNION ALL SELECT dst AS node FROM ew)
+), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (
+  SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS rank_fp
+  FROM nodes
+)"""
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""", c{i} AS (
+  SELECT ew.dst AS node,
+    CAST(sum(((r.rank_fp * {dn}) // ({dd} * outw.out_w)) * ew.w)
+      AS BIGINT) AS c
+  FROM ew JOIN outw USING (src) JOIN r{i - 1} r ON r.node = ew.src
+  GROUP BY ew.dst
+), r{i} AS (
+  SELECT nodes.node,
+    CAST(({scale} * {dd - dn}) // ({dd} * (SELECT n FROM nn))
+      + COALESCE(c{i}.c, 0) AS BIGINT) AS rank_fp
+  FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node
+)"""
+    return sql + f"\nSELECT node, rank_fp FROM r{_PR_ITERS} ORDER BY node"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is the ROTATION POLICY (r5 verdict #3): the external
     # driver records at most ~50 rows per round, so ordering decides which
@@ -3123,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally regardless (plus tools/self_correctness.py at two SFs).
     return {
         # -- (1) new in r6 / red in r5 --
+        "pagerank": q_pagerank,
         "normalize_text": q_normalize_text,
         "gopher_rules": q_gopher_rules,
         "url_filter": q_url_filter,
@@ -3242,6 +3309,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_full_v3": _oracle_pipeline_v3(),
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "normalize_text": ORACLE_NORMALIZE_TEXT,
+        "pagerank": _oracle_pagerank(),
         "gopher_rules": ORACLE_GOPHER_RULES,
         "url_filter": ORACLE_URL_FILTER,
         "domain_cap": ORACLE_DOMAIN_CAP,
