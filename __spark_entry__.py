@@ -24,6 +24,7 @@ from ocr_table_extractor_to_csv_spark.operators import (
     dedup,
     graph,
     similarity,
+    sketches,
     textstats,
 )
 from ocr_table_extractor_to_csv_spark.operators.evaluation import numeric_metrics
@@ -3115,6 +3116,42 @@ FROM n
 """
 
 
+# --- kmv_distinct --------------------------------------------------------
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-shingle cardinality sketch per source: k smallest
+    60-bit shingle hashes -> integer estimator, deterministic and
+    mergeable (vs approx_count_distinct's engine-private HLL).  One
+    map-side-partial distinct + the domain_cap salted min-k."""
+    return sketches.kmv_distinct(_docs(spark, sf_dir))
+
+
+def _oracle_kmv_distinct() -> str:
+    k, space = sketches.KMV_K, sketches.HASH_SPACE
+    return f"""
+WITH sh AS (
+  SELECT doc_id, shingle FROM ({_SHINGLES_SQL}) s WHERE shingle <> ''
+), d AS (
+  SELECT DISTINCT doc.source,
+    CAST('0x' || substr(md5(sh.shingle), 1, 15) AS BIGINT) AS h
+  FROM sh JOIN documents doc USING (doc_id)
+), r AS (
+  SELECT source, h,
+    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+  FROM d
+), t AS (
+  SELECT source, CAST(count(*) AS INT) AS n_sketch, max(h) AS mx
+  FROM r WHERE rk <= {k} GROUP BY source
+)
+SELECT source, n_sketch,
+  CASE WHEN n_sketch = {k} THEN mx END AS kth_min,
+  CAST(CASE WHEN n_sketch = {k} THEN ({k} - 1) * ({space} // mx)
+       ELSE n_sketch END AS BIGINT) AS distinct_est
+FROM t
+"""
+
+
 # --- pagerank ------------------------------------------------------------
 # Fixed-point integer PageRank over the deterministic synthetic host link
 # graph (documents carry no link data; hosts = doc_id residues, two
@@ -3190,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) new in r6 / red in r5 --
         "pagerank": q_pagerank,
+        "kmv_distinct": q_kmv_distinct,
         "normalize_text": q_normalize_text,
         "gopher_rules": q_gopher_rules,
         "url_filter": q_url_filter,
@@ -3310,6 +3348,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "normalize_text": ORACLE_NORMALIZE_TEXT,
         "pagerank": _oracle_pagerank(),
+        "kmv_distinct": _oracle_kmv_distinct(),
         "gopher_rules": ORACLE_GOPHER_RULES,
         "url_filter": ORACLE_URL_FILTER,
         "domain_cap": ORACLE_DOMAIN_CAP,

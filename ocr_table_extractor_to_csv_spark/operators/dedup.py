@@ -72,9 +72,12 @@ def _gram_chain(toks, n: int):
     return grams
 
 
-def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams, '_'-joined (the shared
-    ``_gram_chain`` builder).
+def shingles(documents: DataFrame, n: int = 3, carry: tuple = ()) -> DataFrame:
+    """(doc_id, *carry, shingle) — distinct word n-grams, '_'-joined (the
+    shared ``_gram_chain`` builder).  ``carry`` names extra document
+    columns to keep alongside (e.g. ``("source",)`` for per-source
+    sketches) — carried through the explode, NOT re-joined later, so no
+    extra shuffle.
 
     Docs with < n tokens emit their full token join as the single shingle
     (so short docs still participate).
@@ -84,7 +87,9 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         F.size(toks) >= n, _gram_chain(toks, n)
     ).otherwise(F.array(F.array_join(toks, "_")))
     return (
-        documents.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        documents.select(
+            "doc_id", *carry, F.explode(F.array_distinct(grams)).alias("shingle")
+        )
         .where(F.col("shingle") != "")
     )
 

@@ -584,6 +584,25 @@ def test_domain_cap_first_window_is_salted(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_kmv_distinct_plan_salted_and_partial_dedup(spark):
+    """kmv_distinct at 100 TB: the (source, h) distinct must compile to a
+    partial/final HashAggregate pair (viral duplicate shingles collapse
+    map-side, before the wire), and the phase-1 min-k window must carry
+    the salt (no task sorts a whole source's distinct set).  No Python
+    eval nodes anywhere."""
+    from ocr_table_extractor_to_csv_spark.operators.sketches import kmv_distinct
+
+    docs = spark.createDataFrame(
+        [(i, "src%d" % (i % 3), f"a b c d{i}") for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    plan = _formatted(spark, kmv_distinct(docs, salt_mod=4))
+    assert "partial_" in plan or "HashAggregate" in plan
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan, "phase-1 window lost its salt"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_normalize_text_map_only(spark):
     """normalize_text fuses into the extraction scan at 100 TB: pure
     sequential regexp_replace column expressions — zero exchange, zero
