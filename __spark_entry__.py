@@ -1846,6 +1846,36 @@ def q_semdedup(spark, sf_dir):
     return similarity.semdedup(_emb(spark, sf_dir))
 
 
+def q_cluster_stats(spark, sf_dir):
+    """Semantic-cluster balance over the trained coarse quantizer
+    (``similarity.cluster_stats``): per-cluster vector counts + integer
+    ppm share — the observability row a mix planner reads to catch topic
+    collapse.  Assignment is one scan of pure column expressions; stats
+    are one groupBy + a single-row broadcast total."""
+    return similarity.cluster_stats(_emb(spark, sf_dir))
+
+
+def _oracle_cluster_stats(
+    n_centroids: int = 16,
+    n_iter: int = similarity.IVF_TRAIN_ITERS,
+    sample_mod: int = similarity.IVF_SAMPLE_MOD,
+    max_train: int = similarity.IVF_MAX_TRAIN,
+) -> str:
+    """DuckDB twin over the shared trained-quantizer prefix: identical
+    centroids and assignments, then the same integer share arithmetic
+    (`//` == Spark `div` on non-negative operands)."""
+    return f"""
+WITH {_ivf_cent_assign_ctes(n_centroids, n_iter, sample_mod, max_train)},
+t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM assign),
+g AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs FROM assign GROUP BY cid
+)
+SELECT CAST(cid AS INT) AS cid, n_vecs,
+  CAST(n_vecs * 1000000 // (SELECT tot FROM t) AS BIGINT) AS share_ppm
+FROM g ORDER BY cid
+"""
+
+
 def _oracle_semdedup(
     n_centroids: int = 16,
     threshold: float = 0.35,
@@ -3228,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) new in r6 / red in r5 --
         "pagerank": q_pagerank,
         "kmv_distinct": q_kmv_distinct,
+        "cluster_stats": q_cluster_stats,
         "normalize_text": q_normalize_text,
         "gopher_rules": q_gopher_rules,
         "url_filter": q_url_filter,
@@ -3349,6 +3380,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": ORACLE_NORMALIZE_TEXT,
         "pagerank": _oracle_pagerank(),
         "kmv_distinct": _oracle_kmv_distinct(),
+        "cluster_stats": _oracle_cluster_stats(),
         "gopher_rules": ORACLE_GOPHER_RULES,
         "url_filter": ORACLE_URL_FILTER,
         "domain_cap": ORACLE_DOMAIN_CAP,

@@ -382,6 +382,43 @@ def assign_centroids(embeddings: DataFrame, cents: list) -> DataFrame:
     ).select("vec_id", F.expr(centroid_cid_expr(cents)).alias("cid"))
 
 
+def cluster_stats(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = IVF_TRAIN_ITERS,
+    sample_mod: int = IVF_SAMPLE_MOD,
+    max_train: int = IVF_MAX_TRAIN,
+) -> DataFrame:
+    """(cid, n_vecs, share_ppm) — semantic-cluster balance over the
+    TRAINED coarse quantizer: how the corpus distributes across embedding
+    clusters, the observability twin of ``semdedup``/``ivf_topk`` and the
+    input a mix planner reads to spot topic collapse (one cluster
+    swallowing the corpus) before training on it.
+
+    ``share_ppm`` is integer parts-per-million (``n_vecs * 1e6 div
+    total``) — exact in both engines, no float shares to canonicalize.
+    Scale shape: assignment is a pure column expression over one scan
+    (centroids ship as literals); the stats are one groupBy(cid) with
+    map-side partial agg + a single-row total broadcast-joined back
+    (mix_plan convention) — no window, no driver collect beyond the
+    bounded trainer sample."""
+    cents = train_ivf_centroids(
+        embeddings, n_centroids, n_iter, sample_mod, max_train
+    )
+    a = assign_centroids(embeddings, cents)
+    tot = a.agg(F.count("*").cast("long").alias("tot"))
+    return (
+        a.groupBy("cid")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_vecs",
+            F.expr("n_vecs * 1000000 div tot").cast("long").alias("share_ppm"),
+        )
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     n_centroids: int = 16,

@@ -1535,6 +1535,30 @@ def test_semdedup_exact_duplicate_dropped_keeper_kept(spark):
     assert out[first.vec_id][1] == base_out[first.vec_id][1]
 
 
+def test_cluster_stats_accounting_and_invariance(spark):
+    """cluster_stats conservation + exactness: n_vecs sums to the corpus
+    size; integer ppm shares sum to 1e6 minus at most n_clusters flooring
+    ulps; cids agree with assign_centroids; and the output is ==-identical
+    under repartitioning (integer arithmetic claim)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = similarity.cluster_stats(emb).collect()
+    total = emb.count()
+    assert sum(r.n_vecs for r in out) == total
+    ppm = sum(r.share_ppm for r in out)
+    assert 1_000_000 - len(out) <= ppm <= 1_000_000
+    # cid histogram matches an independent assign_centroids pass
+    cents = similarity.train_ivf_centroids(emb)
+    hist = {
+        r.cid: r.cnt
+        for r in similarity.assign_centroids(emb, cents)
+        .groupBy("cid").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert {r.cid: r.n_vecs for r in out} == hist
+    key = lambda r: (r.cid, r.n_vecs, r.share_ppm)  # noqa: E731
+    again = similarity.cluster_stats(emb.repartition(7, "vec_id")).collect()
+    assert sorted(map(key, out)) == sorted(map(key, again))
+
+
 def test_mix_sample_integer_and_fractional_epochs(spark):
     """mix_sample copy semantics: epochs exactly 2.0 -> EVERY doc emitted
     exactly twice (copy 1..2, no u-gate involvement); epochs 0.5 -> each
