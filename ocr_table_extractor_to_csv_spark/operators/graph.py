@@ -84,6 +84,13 @@ def pagerank(
 
     ``damping_num``/``damping_den``/``scale``/``iterations`` must be
     Python ints (asserted) — they are inlined into column expressions.
+
+    Cache lifecycle: the edge/node tables and the RETURNED rank frame stay
+    persisted (the loop's plan references them once per iteration, so
+    dropping the cache early would recompute the edge aggregation per
+    iteration inside the final job).  Callers running many graphs in one
+    session should ``.unpersist()`` the result after materializing it;
+    intermediate iterations are already unpersisted as the loop advances.
     """
     for v in (iterations, damping_num, damping_den, scale):
         if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
@@ -98,6 +105,8 @@ def pagerank(
     ew_out = ew.join(outw, "src").persist()
     nodes = nodes.persist()
     n = nodes.count()  # the loop's only driver scalar
+    if n == 0:
+        raise ValueError("pagerank: empty edge list (no nodes)")
     base = (scale * (damping_den - damping_num)) // (damping_den * n)
     share_expr = F.expr(
         f"(rank_fp * {damping_num}) div ({damping_den} * out_w)"

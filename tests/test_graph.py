@@ -84,6 +84,16 @@ def test_host_link_graph_shape(spark):
     assert mx[0] <= 12 and mx[1] <= 12
 
 
+def test_pagerank_empty_graph_raises(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    try:
+        pagerank(df)
+    except ValueError as e:
+        assert "empty" in str(e)
+    else:
+        raise AssertionError("expected ValueError on empty edge list")
+
+
 def test_pagerank_rejects_non_int_params(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     for kw in (
