@@ -469,8 +469,21 @@ def quality_classifier(
     accuracy pays on real corpora.  tests/test_operators.py proves the
     machinery learns a vocabulary-separable label exactly.
     """
+    return score_quality(
+        documents,
+        train_quality_model(documents, n_buckets, train_mod, threshold),
+        n_buckets=n_buckets,
+        threshold=threshold,
+    )
+
+
+def _qc_token_rows(
+    documents: DataFrame, n_buckets: int, threshold: float
+) -> DataFrame:
+    """(doc_id, label, tok, bucket) — the shared labeled token stream of
+    the quality classifier (one spec for training and scoring)."""
     q = quality_columns(F.col("text"))
-    tok_rows = documents.select(
+    return documents.select(
         "doc_id",
         (q["quality_score"] >= F.lit(threshold)).cast("int").alias("label"),
         F.explode(tokens_col(F.col("text"))).alias("tok"),
@@ -481,11 +494,40 @@ def quality_classifier(
             F.lit(n_buckets),
         ).cast("int"),
     )
-    train = tok_rows.where(F.pmod(F.col("doc_id"), F.lit(train_mod)) == 0)
-    stats = train.groupBy("bucket").agg(
+
+
+def train_quality_model(
+    documents: DataFrame,
+    n_buckets: int = QC_BUCKETS,
+    train_mod: int = QC_TRAIN_MOD,
+    threshold: float = QC_THRESHOLD,
+) -> DataFrame:
+    """(bucket, pos, cnt) — the classifier's ENTIRE model, a <= n_buckets
+    row table.  The production shape is train ONCE, write this table,
+    then ``score_quality`` every corpus/delta against it — per-run cost
+    drops to the scoring scan alone (the composed ``quality_classifier``
+    re-trains inline per call, fine for one-shots, ~2x the scans for
+    repeated use — measured 8.8 s vs a one-scan gate's ~4 s at sf0.1)."""
+    train = _qc_token_rows(documents, n_buckets, threshold).where(
+        F.pmod(F.col("doc_id"), F.lit(train_mod)) == 0
+    )
+    return train.groupBy("bucket").agg(
         F.sum("label").cast("long").alias("pos"),
         F.count("*").alias("cnt"),
     )
+
+
+def score_quality(
+    documents: DataFrame,
+    stats: DataFrame,
+    n_buckets: int = QC_BUCKETS,
+    threshold: float = QC_THRESHOLD,
+) -> DataFrame:
+    """Score ``documents`` against a trained (bucket, pos, cnt) model —
+    same output contract as ``quality_classifier``.  ``n_buckets`` and
+    ``threshold`` must match the values the model was trained with
+    (bucket ids and the reported ``label`` column depend on them)."""
+    tok_rows = _qc_token_rows(documents, n_buckets, threshold)
     # the global rate is the column sum of the bounded stats table — NOT a
     # second aggregate over the corpus token stream (r6 review: that was a
     # third full corpus scan for two numbers derivable from <= n_buckets

@@ -1507,6 +1507,31 @@ def test_quality_classifier_learns_separable_vocabulary(spark):
     assert all(r.pred == (r.vote >= 0) for r in out)
 
 
+def test_score_quality_with_materialized_model_matches_composed(spark, tmp_path):
+    """The production shape: train_quality_model written to parquet and
+    reloaded must score ==-identically to the inline composed
+    quality_classifier (model is a plain table, no session state)."""
+    from ocr_table_extractor_to_csv_spark.operators.textstats import (
+        quality_classifier,
+        score_quality,
+        train_quality_model,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog again and again. " * 3
+    bad = " ".join(f"zork{i % 7}," for i in range(60))
+    docs = spark.createDataFrame(
+        [(i, good if i % 2 == 0 else bad) for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "qc_model.parquet")
+    train_quality_model(docs).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    key = lambda r: (r.doc_id, r.n_tokens, r.label, r.vote, r.pred)  # noqa: E731
+    assert sorted(map(key, score_quality(docs, reloaded).collect())) == sorted(
+        map(key, quality_classifier(docs).collect())
+    )
+
+
 def test_semdedup_exact_duplicate_dropped_keeper_kept(spark):
     """SemDeDup keeper rule on the real sf embeddings PLUS a planted exact
     duplicate: an appended copy of an existing vector (new max vec_id)
