@@ -43,31 +43,15 @@ KMV_K = 64
 HASH_SPACE = 1 << 60  # repo-standard conv(substr(md5,1,15),16,10) range
 
 
-def kmv_distinct(
-    documents: DataFrame,
-    *,
-    k: int = KMV_K,
-    n: int = 3,
-    salt_mod: int = 8,
-) -> DataFrame:
-    """(source, n_sketch, kth_min, distinct_est) — KMV distinct-shingle
-    estimate per source.
-
-    * ``n_sketch``: sketch fill (= min(k, true distinct count));
-    * ``kth_min``: the k-th smallest hash, NULL while the sketch is not
-      full (the mergeable state, alongside the implied k smallest);
-    * ``distinct_est``: EXACT count while n_sketch < k (the sketch saw
-      every value), else ``(k-1) * (2^60 div kth_min)``.
-    """
+def _check_k(k: int) -> None:
     if not isinstance(k, int) or isinstance(k, bool) or k < 2:
         raise ValueError("k must be an int >= 2")
-    sh = shingles(documents, n, carry=("source",))
-    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
-    # the one real shuffle: distinct (source, h) — compiles to a
-    # HashAggregate pair, so viral duplicates collapse map-side
-    d = sh.select("source", h.alias("h")).distinct()
-    # two-phase salted min-k (domain_cap pattern): rows are distinct now,
-    # so plain row_number ranks distinct VALUES
+
+
+def _min_k(d: DataFrame, k: int, salt_mod: int) -> DataFrame:
+    """k smallest ``h`` per source over a frame of DISTINCT (source, h)
+    rows — the domain_cap two-phase salted rank (rows are distinct, so
+    plain row_number ranks distinct VALUES)."""
     p1 = (
         d.withColumn("_salt", F.pmod(F.col("h"), F.lit(salt_mod)).cast("int"))
         .withColumn(
@@ -79,13 +63,66 @@ def kmv_distinct(
         .where(F.col("rk") <= k)
     )
     # bounded window: <= salt_mod * k rows per source by construction
-    p2 = (
+    return (
         p1.withColumn(
             "rk2", F.row_number().over(Window.partitionBy("source").orderBy("h"))
         )
         .where(F.col("rk2") <= k)
+        .select("source", "h")
     )
-    agg = p2.groupBy("source").agg(
+
+
+def kmv_state(
+    documents: DataFrame,
+    *,
+    k: int = KMV_K,
+    n: int = 3,
+    salt_mod: int = 8,
+) -> DataFrame:
+    """(source, h) — the sketch STATE: the k smallest distinct 60-bit
+    shingle hashes per source (<= k rows/source).  Write this table per
+    crawl; ``kmv_merge`` folds the next crawl's delta into it without
+    rescanning history, and ``kmv_stats`` turns any state into the
+    summary row."""
+    _check_k(k)
+    sh = shingles(documents, n, carry=("source",))
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+    # the one real shuffle: distinct (source, h) — compiles to a
+    # HashAggregate pair, so viral duplicates collapse map-side
+    d = sh.select("source", h.alias("h")).distinct()
+    return _min_k(d, k, salt_mod)
+
+
+def kmv_merge(
+    state: DataFrame,
+    documents: DataFrame,
+    *,
+    k: int = KMV_K,
+    n: int = 3,
+    salt_mod: int = 8,
+) -> DataFrame:
+    """Fold a NEW batch of documents into an existing sketch state:
+    min-k(state ∪ sketch(delta)) — by the KMV merge law this equals the
+    state of the concatenated corpus EXACTLY (pytest-pinned), while the
+    cost is O(delta) + O(sources × k): the corpus history never rescans
+    and never reshuffles.  ``k``/``n`` must match the state's."""
+    _check_k(k)
+    delta = kmv_state(documents, k=k, n=n, salt_mod=salt_mod)
+    merged = state.select("source", "h").unionByName(delta).distinct()
+    return _min_k(merged, k, salt_mod)
+
+
+def kmv_stats(state: DataFrame, *, k: int = KMV_K) -> DataFrame:
+    """(source, n_sketch, kth_min, distinct_est) from a sketch state.
+
+    * ``n_sketch``: sketch fill (= min(k, true distinct count));
+    * ``kth_min``: the k-th smallest hash, NULL while the sketch is not
+      full;
+    * ``distinct_est``: EXACT count while n_sketch < k (the sketch saw
+      every value), else ``(k-1) * (2^60 div kth_min)``.
+    """
+    _check_k(k)
+    agg = state.groupBy("source").agg(
         F.count("*").cast("int").alias("n_sketch"),
         F.max("h").alias("mx"),
     )
@@ -99,3 +136,14 @@ def kmv_distinct(
         .cast("long")
         .alias("distinct_est"),
     )
+
+
+def kmv_distinct(
+    documents: DataFrame,
+    *,
+    k: int = KMV_K,
+    n: int = 3,
+    salt_mod: int = 8,
+) -> DataFrame:
+    """One-shot sketch summary: ``kmv_stats(kmv_state(documents))``."""
+    return kmv_stats(kmv_state(documents, k=k, n=n, salt_mod=salt_mod), k=k)
