@@ -540,6 +540,65 @@ FROM documents
 """
 
 
+def _wet_fixture_dir(spark, sf_dir: str) -> str:
+    """WET twin of _warc_fixture_dir: synthesize (idempotent, identity-
+    keyed cache) gzip-member WET segments from ``documents`` — 8 segments,
+    a warcinfo member heading each segment, conversion members carrying
+    the raw utf-8 text (no HTTP framing)."""
+    import hashlib
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        ident = f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = os.path.abspath(sf_dir)
+    digest = hashlib.md5(ident.encode()).hexdigest()[:10]
+    d = f"/tmp/ocrx_wet_fixture_{tag}_{digest}"
+    if not os.path.exists(os.path.join(d, "_COMPLETE")):
+        from ocr_table_extractor_to_csv_spark.sources.warc import write_wet_segments
+
+        rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+        write_wet_segments(
+            (
+                (
+                    r.doc_id,
+                    f"https://docs.example/{r.doc_id}",
+                    "2025-01-01T00:00:00Z",
+                    r.text,
+                )
+                for r in sorted(rows, key=lambda r: r.doc_id)
+            ),
+            d,
+        )
+    return d
+
+
+def q_wet_roundtrip(spark, sf_dir):
+    """WET source end to end: gzip-member extracted-text segments ->
+    record splitter (length framing, warcinfo skip, conversion decode) ->
+    (url, text) — value-checked against the documents the segments were
+    synthesized from (same evidence class as warc_roundtrip)."""
+    from ocr_table_extractor_to_csv_spark.sources.warc import read_wet
+
+    pages = read_wet(spark, _wet_fixture_dir(spark, sf_dir))
+    return pages.where(F.col("error").isNull()).select(
+        "url",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    )
+
+
+ORACLE_WET_ROUNDTRIP = """
+SELECT 'https://docs.example/' || CAST(doc_id AS VARCHAR) AS url,
+       md5(text) AS text_md5,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
 def _giants_resume_dir(sf_dir: str) -> str:
     """Stable per-sf scratch root for the giants_resume job run (same
     identity keying as the WARC fixture dir: full path + documents parquet
@@ -3259,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "kmv_distinct": q_kmv_distinct,
         "cluster_stats": q_cluster_stats,
+        "wet_roundtrip": q_wet_roundtrip,
         "normalize_text": q_normalize_text,
         "gopher_rules": q_gopher_rules,
         "url_filter": q_url_filter,
@@ -3381,6 +3441,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _oracle_pagerank(),
         "kmv_distinct": _oracle_kmv_distinct(),
         "cluster_stats": _oracle_cluster_stats(),
+        "wet_roundtrip": ORACLE_WET_ROUNDTRIP,
         "gopher_rules": ORACLE_GOPHER_RULES,
         "url_filter": ORACLE_URL_FILTER,
         "domain_cap": ORACLE_DOMAIN_CAP,

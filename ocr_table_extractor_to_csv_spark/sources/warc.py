@@ -70,8 +70,15 @@ def _parse_warc_ts(raw: Optional[str]):
         return None
 
 
-def parse_warc_records(data: bytes) -> Iterator[Tuple[str, object, bytes]]:
-    """Yield (url, warc_ts, html_bytes) for each response record."""
+def parse_warc_records(
+    data: bytes, want: str = "response"
+) -> Iterator[Tuple[str, object, bytes]]:
+    """Yield (url, warc_ts, payload_bytes) for each record of type
+    ``want``.  ``response`` (WARC crawl archives) strips the HTTP header
+    block so the payload is the html body; ``conversion`` (WET
+    extracted-text segments) payloads are the text itself — no HTTP
+    framing to strip.  All other record types (request, warcinfo,
+    metadata) are length-skipped."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -94,10 +101,13 @@ def parse_warc_records(data: bytes) -> Iterator[Tuple[str, object, bytes]]:
         body_end = body_start + length
         if body_end > n:
             raise ValueError("WARC record payload exceeds file size")
-        if headers.get("warc-type") == "response":
+        if headers.get("warc-type") == want:
             url = headers.get("warc-target-uri", "")
             ts = _parse_warc_ts(headers.get("warc-date"))
-            yield url, ts, _strip_http_headers(data[body_start:body_end])
+            payload = data[body_start:body_end]
+            if want == "response":
+                payload = _strip_http_headers(payload)
+            yield url, ts, payload
         pos = body_end
 
 
@@ -154,6 +164,62 @@ def read_warc(spark, path: str) -> DataFrame:
     return files.mapInArrow(warc_batches_fn, WARC_PAGES_SCHEMA)
 
 
+WET_PAGES_SCHEMA = "url string, warc_ts timestamp, text string, error string"
+
+
+def wet_batches_fn(batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel over (path, content) file batches -> WET text
+    rows: ``WARC-Type: conversion`` records decoded utf-8 (replace —
+    Common Crawl WET payloads are declaredly utf-8 but not guaranteed
+    valid).  Same error contract as ``warc_batches_fn``: one error row
+    per bad file, never a task failure."""
+    for b in batches:
+        paths = b.column("path").to_pylist()
+        contents = b.column("content").to_pylist()
+        urls: List[Optional[str]] = []
+        tss: List[object] = []
+        texts: List[Optional[str]] = []
+        errs: List[Optional[str]] = []
+        for p, raw in zip(paths, contents):
+            try:
+                data = bytes(raw or b"")
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                for url, ts, payload in parse_warc_records(data, want="conversion"):
+                    urls.append(url)
+                    tss.append(ts)
+                    texts.append(payload.decode("utf-8", "replace"))
+                    errs.append(None)
+            except Exception as exc:
+                urls.append(p)
+                tss.append(None)
+                texts.append(None)
+                errs.append(f"{type(exc).__name__}: {exc}")
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(urls, pa.string()),
+                pa.array(tss, pa.timestamp("us", tz="UTC")),
+                pa.array(texts, pa.string()),
+                pa.array(errs, pa.string()),
+            ],
+            names=["url", "warc_ts", "text", "error"],
+        )
+
+
+def read_wet(spark, path: str) -> DataFrame:
+    """Directory/glob of .warc.wet(.gz) extracted-text segments ->
+    (url, warc_ts, text, error) — the Common Crawl WET shortcut when the
+    corpus build wants TEXT and can accept CC's own extraction instead of
+    running this engine's (the curation/dedup surface consumes either)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInArrow(wet_batches_fn, WET_PAGES_SCHEMA)
+
+
 def write_warc_segments(
     records,
     out_dir: str,
@@ -196,15 +262,63 @@ def write_warc_segments(
     return n
 
 
-def warc_record(url: str, ts: str, body: bytes, warc_type: str = "response") -> bytes:
-    """One WARC/1.0 response record with an HTTP header block (test/sink
-    helper; the byte layout is the one parse_warc_records consumes)."""
-    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+def warc_record(
+    url: str, ts: str, body: bytes, warc_type: str = "response", http: bool = True
+) -> bytes:
+    """One WARC/1.0 record (test/sink helper; the byte layout is the one
+    parse_warc_records consumes).  ``http=True`` wraps the body in an HTTP
+    header block (response records); ``http=False`` writes the raw payload
+    (conversion/warcinfo records — the WET layout)."""
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        if http
+        else body
+    )
     header = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {warc_type}\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {ts}\r\n"
-        f"Content-Length: {len(http)}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
     ).encode()
-    return header + b"\r\n" + http + b"\r\n\r\n"
+    return header + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def write_wet_segments(
+    records,
+    out_dir: str,
+    n_segments: int = 8,
+    gzip_members: bool = True,
+) -> int:
+    """Deterministic WET corpus synthesizer (fixture helper, WET twin of
+    ``write_warc_segments``).  ``records``: iterable of (seg_key, url, ts,
+    text: str) grouped into ``seg_key % n_segments`` segment files; each
+    segment STARTS with a ``warcinfo`` member (the real WET layout —
+    readers must length-skip it), then one ``conversion`` member per
+    record, each its own gzip member when ``gzip_members``.  Writes
+    ``seg-K.warc.wet(.gz)`` + ``_COMPLETE``; returns the record count."""
+    import os
+
+    segs: dict = {}
+    n = 0
+    for seg_key, url, ts, text in records:
+        rec = warc_record(url, ts, text.encode("utf-8"),
+                          warc_type="conversion", http=False)
+        if gzip_members:
+            rec = gzip.compress(rec)
+        segs.setdefault(int(seg_key) % n_segments, []).append(rec)
+        n += 1
+    info = warc_record(
+        "urn:wet-synthesizer", "2025-01-01T00:00:00Z",
+        b"software: write_wet_segments", warc_type="warcinfo", http=False,
+    )
+    if gzip_members:
+        info = gzip.compress(info)
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "warc.wet.gz" if gzip_members else "warc.wet"
+    for k, recs in segs.items():
+        with open(os.path.join(out_dir, f"seg-{k:05d}.{ext}"), "wb") as f:
+            f.write(info + b"".join(recs))
+    with open(os.path.join(out_dir, "_COMPLETE"), "w") as f:
+        f.write(str(n))
+    return n

@@ -178,3 +178,48 @@ def test_extract_job_warc_landing(spark, tmp_path):
     extracted = spark.read.parquet(out)
     assert extracted.count() == len(docs)
     assert extracted.where(F.col("error").isNotNull()).count() == 0
+
+
+def test_wet_roundtrip_warcinfo_skipped_and_unicode(spark, tmp_path):
+    """WET segments: warcinfo head member length-skipped, conversion
+    members decoded utf-8, non-utf8 bytes replaced (never a crash),
+    malformed file -> one error row."""
+    from ocr_table_extractor_to_csv_spark.sources.warc import (
+        read_wet,
+        write_wet_segments,
+    )
+
+    texts = ["héllo wörld — § text", "plain ascii body", "tab\tand\nnewline"]
+    d = tmp_path / "wet"
+    n = write_wet_segments(
+        (
+            (i, f"https://w.example/{i}", TS.format(i=i), t)
+            for i, t in enumerate(texts)
+        ),
+        str(d),
+        n_segments=2,
+    )
+    assert n == len(texts)
+    # a raw (non-gzip) malformed segment must become an error row
+    (d / "broken.warc.wet").write_bytes(b"NOT A WET FILE")
+    out = read_wet(spark, str(d)).collect()
+    good = {r.url: r for r in out if r.error is None}
+    assert {r.url.split("/")[-1] for r in good.values()} == {"0", "1", "2"}
+    assert [good[f"https://w.example/{i}"].text for i in range(3)] == texts
+    assert all(r.warc_ts is not None for r in good.values())
+    bad = [r for r in out if r.error is not None]
+    assert len(bad) == 1 and "broken" in bad[0].url
+
+
+def test_wet_invalid_utf8_replaced_not_fatal():
+    from ocr_table_extractor_to_csv_spark.sources.warc import (
+        parse_warc_records,
+        warc_record,
+    )
+
+    rec = warc_record(
+        "https://w.example/x", "2025-01-01T00:00:00Z",
+        b"ok \xff\xfe bytes", warc_type="conversion", http=False,
+    )
+    [(url, _ts, payload)] = list(parse_warc_records(rec, want="conversion"))
+    assert payload.decode("utf-8", "replace") == "ok �� bytes"
