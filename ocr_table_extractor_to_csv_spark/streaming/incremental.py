@@ -154,6 +154,58 @@ def incremental_extract_warc(
     return query
 
 
+def incremental_ingest_wet(
+    spark: SparkSession,
+    wet_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """WET twin of ``incremental_extract_warc``: a binaryFile stream over
+    ``.warc.wet(.gz)`` arrivals through the shared WET record splitter,
+    landing (url, warc_ts, text) parquet — exactly-once per segment,
+    idempotent per-batch overwrite sinks, durable error rows.  No
+    extraction stage: WET payloads ARE the extracted text; downstream
+    curation reads the landing directly."""
+    from ..sources.warc import WET_PAGES_SCHEMA, wet_batches_fn
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.wet*")
+        .load(wet_dir)
+        .select("path", "content")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = batch_df.mapInArrow(wet_batches_fn, WET_PAGES_SCHEMA).persist()
+        bad = parsed.where(F.col("error").isNotNull())
+        n_bad = bad.count()
+        if n_bad:
+            print(f"wet stream batch {batch_id}: {n_bad} unreadable segment(s)")
+            _write_idempotent(
+                bad.select("url", "error").withColumn(
+                    "stream_batch_id", F.lit(batch_id)
+                ),
+                f"{out_dir.rstrip('/')}_wet_errors",
+            )
+        _write_idempotent(
+            parsed.where(F.col("error").isNull())
+            .select("url", "warc_ts", "text")
+            .withColumn("stream_batch_id", F.lit(batch_id)),
+            out_dir,
+        )
+        parsed.unpersist()
+
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def incremental_url_dedup(
     spark: SparkSession,
     pages_dir: str,

@@ -223,3 +223,44 @@ def test_wet_invalid_utf8_replaced_not_fatal():
     )
     [(url, _ts, payload)] = list(parse_warc_records(rec, want="conversion"))
     assert payload.decode("utf-8", "replace") == "ok �� bytes"
+
+
+def test_wet_streaming_incremental_exactly_once(spark, tmp_path):
+    """WET crawl-follower: availableNow over arriving .warc.wet(.gz)
+    segments — delta-only per trigger, no-op on nothing-new, corrupt
+    segment leaves a durable error row (never a silent drop)."""
+    from ocr_table_extractor_to_csv_spark.sources.warc import warc_record
+    from ocr_table_extractor_to_csv_spark.streaming.incremental import (
+        incremental_ingest_wet,
+    )
+
+    def wet(url, ts, text):
+        return warc_record(url, ts, text.encode("utf-8"),
+                           warc_type="conversion", http=False)
+
+    d = tmp_path / "wets"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    (d / "seg1.warc.wet").write_bytes(wet("https://w/0", TS.format(i=0), "first text"))
+    incremental_ingest_wet(spark, str(d), out, ckpt)
+    assert spark.read.parquet(out).count() == 1
+
+    (d / "seg2.warc.wet.gz").write_bytes(
+        gzip.compress(wet("https://w/1", TS.format(i=1), "second text"))
+    )
+    incremental_ingest_wet(spark, str(d), out, ckpt)
+    got = spark.read.parquet(out)
+    assert {(r.url, r.text) for r in got.collect()} == {
+        ("https://w/0", "first text"),
+        ("https://w/1", "second text"),
+    }
+
+    incremental_ingest_wet(spark, str(d), out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+    (d / "seg3.warc.wet").write_bytes(b"NOT A WET FILE")
+    incremental_ingest_wet(spark, str(d), out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+    errs = spark.read.parquet(out + "_wet_errors").collect()
+    assert len(errs) == 1 and errs[0].url.endswith("seg3.warc.wet")
