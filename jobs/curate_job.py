@@ -141,7 +141,10 @@ def run_curate(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--documents", required=True, help="documents parquet dir")
+    ap.add_argument("--documents", help="documents parquet dir")
+    ap.add_argument("--wet", help="WET segment dir (.warc.wet/.gz) to "
+                    "curate directly — exclusive with --documents; docs "
+                    "get md5(url) ids + host sources (wet_to_documents)")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--neardup", action="store_true",
                     help="elect keepers per MinHash-LSH cluster (default: exact-dup)")
@@ -181,8 +184,18 @@ def main() -> None:
 
     from ocr_table_extractor_to_csv_spark.session import get_spark
 
+    if bool(args.documents) == bool(args.wet):
+        ap.error("exactly one of --documents / --wet is required")
     spark = get_spark(app_name="curate")
-    docs = spark.read.parquet(args.documents)
+    if args.wet:
+        from ocr_table_extractor_to_csv_spark.sources.warc import (
+            read_wet,
+            wet_to_documents,
+        )
+
+        docs = wet_to_documents(read_wet(spark, args.wet))
+    else:
+        docs = spark.read.parquet(args.documents)
     kept = run_curate(
         spark,
         docs,

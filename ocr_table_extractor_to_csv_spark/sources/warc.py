@@ -284,6 +284,36 @@ def warc_record(
     return header + b"\r\n" + payload + b"\r\n\r\n"
 
 
+def wet_to_documents(pages: DataFrame) -> DataFrame:
+    """Adapt a WET frame (url, warc_ts, text) to the documents shape the
+    curation/dedup/textstats surface consumes: ``doc_id`` is the
+    repo-standard 60-bit md5(url) prefix (deterministic on any cluster —
+    keeper elections stay reproducible across runs; NOT
+    monotonically-increasing, which no operator requires), ``source`` is
+    the url host (the per-source rollup/sketch key), ``lang`` is the
+    engine's own n-gram predictor (``lang_pred_col`` — WET carries no
+    language metadata, and a NULL lang would fail every language gate
+    downstream).  Map-only, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.textstats import lang_pred_col
+
+    return pages.where(F.col("error").isNull() if "error" in pages.columns
+                       else F.lit(True)).select(
+        F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("doc_id"),
+        "url",
+        "warc_ts",
+        "text",
+        lang_pred_col(F.col("text")).alias("lang"),
+        F.regexp_extract(F.col("url"), r"^[^:/?#]+://([^/?#]*)", 1).alias(
+            "source"
+        ),
+        F.length(F.col("text")).cast("long").alias("n_chars"),
+    )
+
+
 def write_wet_segments(
     records,
     out_dir: str,

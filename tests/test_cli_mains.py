@@ -133,3 +133,34 @@ def test_curate_job_main_exact_mode(tmp_path):
     summary = json.loads(res.stdout.strip().splitlines()[-1])
     assert summary["mode"] == "exact" and summary["n_kept"] > 0
     assert (out / "keepers").exists()
+
+
+def test_curate_job_main_wet_input(tmp_path):
+    """--wet curates a WET segment dir directly (read_wet +
+    wet_to_documents glue); --documents together with --wet is refused."""
+    from ocr_table_extractor_to_csv_spark.sources.warc import write_wet_segments
+
+    wet = tmp_path / "wet"
+    write_wet_segments(
+        (
+            (i, f"https://h{i % 2}.example/p/{i}", "2025-01-01T00:00:00Z",
+             f"the quick brown fox number {i} jumps over the lazy dog and "
+             "a cat that is sitting in the sunny yard for a while today "
+             * 3)
+            for i in range(6)
+        ),
+        str(wet),
+        n_segments=2,
+    )
+    out = tmp_path / "cur"
+    res = _run(["jobs/curate_job.py", "--wet", str(wet), "--out", str(out)])
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["n_documents"] == 6 and summary["n_kept"] > 0
+
+    both = _run([
+        "jobs/curate_job.py", "--wet", str(wet), "--documents",
+        "/root/testdata/sf0.001/documents.parquet", "--out", str(out),
+    ])
+    assert both.returncode != 0
+    assert "exactly one of" in (both.stderr + both.stdout)

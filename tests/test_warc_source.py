@@ -264,3 +264,37 @@ def test_wet_streaming_incremental_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2
     errs = spark.read.parquet(out + "_wet_errors").collect()
     assert len(errs) == 1 and errs[0].url.endswith("seg3.warc.wet")
+
+
+def test_wet_to_documents_feeds_curation_surface(spark, tmp_path):
+    """WET landing -> documents shape -> a real curation op: ids are the
+    deterministic 60-bit md5(url) prefix (stable across runs/partitions),
+    source is the host, and exact_dedup runs unmodified on the result."""
+    import hashlib
+
+    from ocr_table_extractor_to_csv_spark.operators import dedup
+    from ocr_table_extractor_to_csv_spark.sources.warc import (
+        read_wet,
+        wet_to_documents,
+        write_wet_segments,
+    )
+
+    rows = [
+        (i, f"https://h{i % 2}.example/p/{i}", TS.format(i=i),
+         "same text body" if i < 2 else f"unique {i}")
+        for i in range(4)
+    ]
+    d = tmp_path / "wet"
+    write_wet_segments(iter(rows), str(d), n_segments=1)
+    docs = wet_to_documents(read_wet(spark, str(d)))
+    got = {r.url: r for r in docs.collect()}
+    assert len(got) == 4
+    for _i, url, _ts, _t in rows:
+        assert got[url].doc_id == int(
+            hashlib.md5(url.encode()).hexdigest()[:15], 16
+        )
+        assert got[url].source == url.split("/")[2]
+        assert got[url].lang == "und"  # no stopword hits in these texts
+    out = dedup.exact_dedup(docs).collect()
+    assert sum(r.n_docs for r in out) == 4
+    assert max(r.n_docs for r in out) == 2  # the planted exact pair
