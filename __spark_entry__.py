@@ -3302,6 +3302,36 @@ r0 AS (
     return sql + f"\nSELECT node, rank_fp FROM r{_PR_ITERS} ORDER BY node"
 
 
+def q_pagerank_weights(spark, sf_dir):
+    """The composition a curation run actually uses: every document
+    carries its host's centrality as an integer quality weight —
+    pagerank's (node, rank_fp) equi-joined back to the corpus on the
+    host key.  The rank table is host-cardinality (tiny vs the corpus),
+    so Spark broadcasts it: the corpus never shuffles for this join."""
+    docs = _docs(spark, sf_dir)
+    ranks = graph.pagerank(
+        graph.host_link_graph(docs, n_hosts=_PR_HOSTS), iterations=_PR_ITERS
+    )
+    return (
+        docs.select(
+            "doc_id", (F.col("doc_id") % _PR_HOSTS).alias("host")
+        )
+        .join(
+            F.broadcast(ranks.withColumnRenamed("node", "host")), "host"
+        )
+        .select("doc_id", "host", "rank_fp")
+    )
+
+
+def _oracle_pagerank_weights() -> str:
+    return f"""
+WITH pr AS MATERIALIZED ({_oracle_pagerank()})
+SELECT doc_id, doc_id % {_PR_HOSTS} AS host, pr.rank_fp
+FROM documents JOIN pr ON pr.node = doc_id % {_PR_HOSTS}
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is the ROTATION POLICY (r5 verdict #3): the external
     # driver records at most ~50 rows per round, so ordering decides which
@@ -3319,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "cluster_stats": q_cluster_stats,
         "wet_roundtrip": q_wet_roundtrip,
+        "pagerank_weights": q_pagerank_weights,
         "normalize_text": q_normalize_text,
         "gopher_rules": q_gopher_rules,
         "url_filter": q_url_filter,
@@ -3442,6 +3473,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _oracle_kmv_distinct(),
         "cluster_stats": _oracle_cluster_stats(),
         "wet_roundtrip": ORACLE_WET_ROUNDTRIP,
+        "pagerank_weights": _oracle_pagerank_weights(),
         "gopher_rules": ORACLE_GOPHER_RULES,
         "url_filter": ORACLE_URL_FILTER,
         "domain_cap": ORACLE_DOMAIN_CAP,

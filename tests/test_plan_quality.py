@@ -603,6 +603,22 @@ def test_kmv_distinct_plan_salted_and_partial_dedup(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pagerank_weights_join_broadcasts(spark):
+    """pagerank_weights at 100 TB: the host-rank table (host-cardinality,
+    tiny vs the corpus) must BROADCAST onto the corpus scan — the corpus
+    side never shuffles for this join."""
+    import __spark_entry__ as entry_mod
+
+    plan = _formatted(
+        spark, entry_mod.q_pagerank_weights(spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastHashJoin" in plan
+    tail = plan.split("BroadcastHashJoin", 1)[0]
+    # the docs-side scan feeding the join must not sit behind an Exchange
+    # other than the broadcast one
+    assert "Exchange hashpartitioning(doc_id" not in tail
+
+
 def test_normalize_text_map_only(spark):
     """normalize_text fuses into the extraction scan at 100 TB: pure
     sequential regexp_replace column expressions — zero exchange, zero
