@@ -2553,6 +2553,47 @@ ORDER BY doc_id
 """
 
 
+def q_line_dedup_within(spark, sf_dir):
+    """Within-page repeated-chunk removal (C4's in-page rule next to the
+    corpus-wide election): keep each chunk's first in-document occurrence,
+    map-only / zero shuffle.  Same output contract and chunk spec as
+    line_dedup_clean, so they compose."""
+    from ocr_table_extractor_to_csv_spark.operators.dedup import (
+        line_dedup_within_page,
+    )
+
+    return line_dedup_within_page(_docs(spark, sf_dir))
+
+
+# the oracle keeps first occurrences with an order-EXPLICIT first-index
+# filter (DuckDB list_distinct does not preserve order; Spark's
+# array_distinct does, pinned in pytest)
+ORACLE_LINE_DEDUP_WITHIN = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+), c AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 10
+              THEN list_transform(
+                     generate_series(0, CAST(len(ts) // 10 AS INT) - 1),
+                     i -> array_to_string(ts[i*10+1 : i*10+10], ' '))
+              ELSE []::VARCHAR[] END AS chunks,
+         array_to_string(ts[CAST(len(ts) // 10 AS INT) * 10 + 1 : len(ts)], ' ')
+           AS tail
+  FROM t
+), d AS (
+  SELECT doc_id, chunks, tail,
+         list_filter(chunks, (x, i) -> list_position(chunks, x) = i) AS ded
+  FROM c
+)
+SELECT doc_id,
+       CAST(len(chunks) AS INT) AS n_chunks,
+       CAST(len(ded) AS INT) AS n_kept,
+       trim(concat_ws(' ', array_to_string(ded, ' '), tail)) AS text_clean
+FROM d ORDER BY doc_id
+"""
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot reconciliation between two deterministic views of the
     documents table: OLD drops doc_id%10==0, NEW drops doc_id%10==1 and
@@ -3350,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stats": q_cluster_stats,
         "wet_roundtrip": q_wet_roundtrip,
         "pagerank_weights": q_pagerank_weights,
+        "line_dedup_within": q_line_dedup_within,
         "normalize_text": q_normalize_text,
         "gopher_rules": q_gopher_rules,
         "url_filter": q_url_filter,
@@ -3474,6 +3516,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_stats": _oracle_cluster_stats(),
         "wet_roundtrip": ORACLE_WET_ROUNDTRIP,
         "pagerank_weights": _oracle_pagerank_weights(),
+        "line_dedup_within": ORACLE_LINE_DEDUP_WITHIN,
         "gopher_rules": ORACLE_GOPHER_RULES,
         "url_filter": ORACLE_URL_FILTER,
         "domain_cap": ORACLE_DOMAIN_CAP,

@@ -558,6 +558,39 @@ def _chunk_cols(chunk_tokens: int):
     return chunks, tail
 
 
+def line_dedup_within_page(
+    documents: DataFrame, chunk_tokens: int = 10
+) -> DataFrame:
+    """Within-PAGE repeated-chunk removal (the other half of the C4 line
+    rules: cross-document boilerplate is ``line_dedup_clean``, repeated
+    menus/footers INSIDE one page is this): keep the first occurrence of
+    each chunk within a document, preserve order, re-append the sub-chunk
+    tail.  Returns (doc_id, n_chunks, n_kept, text_clean) — the same
+    contract as ``line_dedup_clean`` (shared ``_chunk_cols`` spec, same
+    normalized-space rebuild), so the two transforms compose in either
+    order.
+
+    Scale shape: MAP-ONLY, zero shuffle — the dedup set is per-row array
+    logic (``array_distinct`` preserves first-occurrence order in Spark,
+    pytest-pinned; the oracle uses the order-explicit first-index filter
+    because DuckDB's list_distinct does NOT preserve order).  Runs
+    strictly before the corpus-wide election at 100 TB: it shrinks the
+    exploded chunk volume that election must shuffle."""
+    chunks, tail = _chunk_cols(chunk_tokens)
+    base = documents.select(
+        "doc_id", chunks.alias("_chunks"), tail.alias("_tail")
+    )
+    ded = F.array_distinct(F.col("_chunks"))
+    return base.select(
+        "doc_id",
+        F.size("_chunks").cast("int").alias("n_chunks"),
+        F.size(ded).cast("int").alias("n_kept"),
+        F.trim(
+            F.concat_ws(" ", F.array_join(ded, " "), F.col("_tail"))
+        ).alias("text_clean"),
+    )
+
+
 def line_dedup_clean(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame:
     """The C4 cleaning TRANSFORM (line_dedup reports the signal; this
     removes the duplication): per document, drop every text chunk that

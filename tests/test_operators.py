@@ -1560,6 +1560,45 @@ def test_semdedup_exact_duplicate_dropped_keeper_kept(spark):
     assert out[first.vec_id][1] == base_out[first.vec_id][1]
 
 
+def test_line_dedup_within_page_first_occurrence_order_and_tail(spark):
+    """The load-bearing claim: kept chunks preserve FIRST-occurrence order
+    (Spark array_distinct semantics the oracle mirrors explicitly), the
+    sub-chunk tail re-attaches, chunkless docs pass through tail-only."""
+    from ocr_table_extractor_to_csv_spark.operators.dedup import (
+        line_dedup_within_page,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d a b e f c d x"),  # chunks: ab cd ab ef cd + tail x
+            (1, "short"),  # < 1 chunk: tail-only passthrough
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup_within_page(docs, 2).collect()}
+    assert (out[0].n_chunks, out[0].n_kept) == (5, 3)
+    assert out[0].text_clean == "a b c d e f x"  # order kept, dups cut
+    assert (out[1].n_chunks, out[1].n_kept) == (0, 0)
+    assert out[1].text_clean == "short"
+
+
+def test_line_dedup_within_page_is_map_only(spark):
+    from ocr_table_extractor_to_csv_spark.operators.dedup import (
+        line_dedup_within_page,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i} " * 25) for i in range(10)], "doc_id long, text string"
+    )
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = (
+        line_dedup_within_page(docs)._jdf.queryExecution().explainString(mode)
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
 def test_cluster_stats_accounting_and_invariance(spark):
     """cluster_stats conservation + exactness: n_vecs sums to the corpus
     size; integer ppm shares sum to 1e6 minus at most n_clusters flooring
