@@ -43,6 +43,52 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+# Scale-adaptive map fan-out (optimization guide §2.5: derive partitioning
+# from input size, never a constant).  The sf test tables are single-file,
+# single-row-group parquet, so every map-heavy operator inherits a ONE-task
+# scan regardless of cores; spreading a tiny table across the default
+# parallelism costs a sub-MB round-robin shuffle and parallelizes the map
+# compute by the core count (measured 2-4x on the shuffle-bearing heavy
+# queries at sf0.1).  Above the threshold the helper is the IDENTITY: a
+# real corpus scan already has enough splits, and a blanket repartition
+# there would shuffle the whole corpus (the guide's §2.4 anti-pattern).
+# Only applied to queries whose aggregates are partition-order-free
+# (integer sums / min / max / count / md5 keys / per-row folds) — the
+# cross-row double-sum queries (eval_numeric, eval_text) keep their scan
+# order.
+_FAN_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _table_bytes(sf_dir: str, table: str) -> int:
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(p):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(p)
+            for f in files
+        )
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return _FAN_MAX_BYTES + 1  # unknown (e.g. object store): assume big
+
+
+def _fan(df: DataFrame, spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if _table_bytes(sf_dir, table) <= _FAN_MAX_BYTES:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def _docs_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fan(_docs(spark, sf_dir), spark, sf_dir, "documents")
+
+
+def _emb_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fan(_emb(spark, sf_dir), spark, sf_dir, "embeddings")
+
+
 # ---------------------------------------------------------------------------
 # Extraction queries
 # ---------------------------------------------------------------------------
@@ -1061,7 +1107,7 @@ def q_decontaminate(spark, sf_dir):
     doc_id % 97 == 0 stand-in eval set; eval side broadcasts."""
     from ocr_table_extractor_to_csv_spark.operators.curation import decontaminate
 
-    return decontaminate(_docs(spark, sf_dir))
+    return decontaminate(_docs_f(spark, sf_dir))
 
 
 def _oracle_decontaminate(eval_mod: int = 97, threshold: float = 0.5) -> str:
@@ -1144,7 +1190,7 @@ def q_curate(spark, sf_dir):
     shuffle (the keeper-election window)."""
     from ocr_table_extractor_to_csv_spark.operators.curation import curate
 
-    return curate(_docs(spark, sf_dir))
+    return curate(_docs_f(spark, sf_dir))
 
 
 def _oracle_curate() -> str:
@@ -1180,7 +1226,7 @@ def q_curate_neardup(spark, sf_dir):
     to one survivor, not just byte-identical texts."""
     from ocr_table_extractor_to_csv_spark.operators.curation import curate_neardup
 
-    return curate_neardup(_docs(spark, sf_dir))
+    return curate_neardup(_docs_f(spark, sf_dir))
 
 
 def _oracle_curate_neardup() -> str:
@@ -1215,7 +1261,7 @@ def q_pipeline_full(spark, sf_dir):
     operators over ONE cached corpus scan (plan-pinned; r3 verdict #8)."""
     from ocr_table_extractor_to_csv_spark.operators.curation import curate_pipeline
 
-    return curate_pipeline(_docs(spark, sf_dir))
+    return curate_pipeline(_docs_f(spark, sf_dir))
 
 
 def _oracle_pipeline_full(budget: int = 2048, n_shards: int = 16) -> str:
@@ -1266,7 +1312,7 @@ def q_pipeline_full_v2(spark, sf_dir):
     from ocr_table_extractor_to_csv_spark.operators.curation import curate_pipeline
     from ocr_table_extractor_to_csv_spark.operators.weburl import with_synth_url
 
-    return curate_pipeline(with_synth_url(_docs(spark, sf_dir)), url_col="url")
+    return curate_pipeline(with_synth_url(_docs_f(spark, sf_dir)), url_col="url")
 
 
 def _oracle_pipeline_v2(budget: int = 2048, n_shards: int = 16) -> str:
@@ -1308,7 +1354,7 @@ def q_pipeline_full_v3(spark, sf_dir):
     (plan-pinned in tests)."""
     from ocr_table_extractor_to_csv_spark.operators.curation import curate_pipeline
 
-    return curate_pipeline(_docs(spark, sf_dir), clean_chunks=10)
+    return curate_pipeline(_docs_f(spark, sf_dir), clean_chunks=10)
 
 
 def _oracle_pipeline_v3(budget: int = 2048, n_shards: int = 16) -> str:
@@ -1379,7 +1425,7 @@ def q_bloom_dedup(spark, sf_dir):
     in SQL equals the bitmap test, false positives included."""
     from ocr_table_extractor_to_csv_spark.operators.dedup import bloom_dedup
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_f(spark, sf_dir)
     donor = docs.select(
         (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_donor")
     )
@@ -1438,7 +1484,7 @@ ORDER BY doc_id
 
 
 def q_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    return dedup.minhash_lsh_pairs(_docs_f(spark, sf_dir))
 
 
 def _minhash_bands0_ctes() -> str:
@@ -1486,7 +1532,7 @@ ORACLE_MINHASH_LSH = _oracle_minhash_lsh()
 def q_lsh_bucket_stats(spark, sf_dir):
     """Per-band hot-bucket accounting next to the dedup results, so what the
     MAX_BUCKET cap drops is driver-visible, never silent (r2 verdict #5)."""
-    return dedup.lsh_bucket_stats(_docs(spark, sf_dir))
+    return dedup.lsh_bucket_stats(_docs_f(spark, sf_dir))
 
 
 ORACLE_LSH_BUCKET_STATS = f"""
@@ -1506,7 +1552,7 @@ FROM per_bucket GROUP BY band
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the MinHash-LSH candidate pairs (iterative
     min-label propagation run to convergence in Spark)."""
-    return dedup.dedup_clusters(_docs(spark, sf_dir))
+    return dedup.dedup_clusters(_docs_f(spark, sf_dir))
 
 
 def _oracle_dedup_clusters(iters: int = 12) -> str:
@@ -1553,14 +1599,14 @@ FROM l{iters}, chk
 def q_simhash(spark, sf_dir):
     """The 32-bit compact twin (EXPLICIT opt-in since r5 — the library
     default is the 64-bit production width; see ``simhash64``)."""
-    return dedup.simhash(_docs(spark, sf_dir), bits=32)
+    return dedup.simhash(_docs_f(spark, sf_dir), bits=32)
 
 
 def q_simhash64(spark, sf_dir):
     """64-bit SimHash — the production width (16-bit pigeonhole band keys).
     Bit 63 lands on the BIGINT sign bit; signed two's complement agrees
     between Spark LONG and DuckDB BIGINT, so the oracle is still bit-exact."""
-    return dedup.simhash(_docs(spark, sf_dir), bits=64).withColumnRenamed(
+    return dedup.simhash(_docs_f(spark, sf_dir), bits=64).withColumnRenamed(
         "simhash", "simhash64"
     )
 
@@ -1609,7 +1655,7 @@ ORACLE_SIMHASH = _oracle_simhash_hash(32)
 
 
 def q_similarity_topk(spark, sf_dir):
-    return similarity.brute_force_topk(_emb(spark, sf_dir))
+    return similarity.brute_force_topk(_emb_f(spark, sf_dir))
 
 
 ORACLE_SIMILARITY_TOPK = """
@@ -1636,7 +1682,7 @@ FROM ranked WHERE rank <= 5
 
 
 def q_similarity_lsh(spark, sf_dir):
-    return similarity.lsh_topk(_emb(spark, sf_dir))
+    return similarity.lsh_topk(_emb_f(spark, sf_dir))
 
 
 def _sketch_ctes(n_planes: int = 6, n_tables: int = 8, dim: int = 64) -> str:
@@ -1707,7 +1753,7 @@ def q_similarity_ivf(spark, sf_dir):
     """IVF-flat ANN: integer-Lloyd TRAINED coarse quantizer (driver-side
     over a deterministic sample), literal-array list assignment in one
     scan, n_probe=4 inverted lists, exact re-rank."""
-    return similarity.ivf_topk(_emb(spark, sf_dir))
+    return similarity.ivf_topk(_emb_f(spark, sf_dir))
 
 
 IVF_Q8_REFINE = 4
@@ -1721,7 +1767,7 @@ def q_similarity_ivf_q(spark, sf_dir):
     only the top k*4 per query are re-ranked with float vectors.  At 10^9
     vectors the candidate pass reads the 4x-smaller code column and the
     float column is fetched for ~20 rows per query."""
-    return similarity.ivf_topk(_emb(spark, sf_dir), refine_q8=IVF_Q8_REFINE)
+    return similarity.ivf_topk(_emb_f(spark, sf_dir), refine_q8=IVF_Q8_REFINE)
 
 
 def _q8_shortlist_ctes(k: int, refine_q8: int | None) -> str:
@@ -1902,7 +1948,7 @@ def q_semdedup(spark, sf_dir):
     (``similarity.semdedup``).  The third embedding-dedup path next to
     LSH-bucketed pairs and brute force; training, assignment, and the
     keeper verdict all replay exactly in the oracle."""
-    return similarity.semdedup(_emb(spark, sf_dir))
+    return similarity.semdedup(_emb_f(spark, sf_dir))
 
 
 def q_cluster_stats(spark, sf_dir):
@@ -1972,7 +2018,7 @@ def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs at the production 64-bit width: pigeonhole
     banding (exact recall at the hamming radius, up to the hot-bucket cap)
     + bit_count confirm."""
-    return dedup.simhash_pairs(_docs(spark, sf_dir), bits=SIMHASH_PAIRS_BITS)
+    return dedup.simhash_pairs(_docs_f(spark, sf_dir), bits=SIMHASH_PAIRS_BITS)
 
 
 def _simhash_bands_ctes(bits: int, max_hamming: int) -> str:
@@ -2014,7 +2060,7 @@ FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
 def q_simhash_bucket_stats(spark, sf_dir):
     """Band-bucket accounting for simhash_pairs' hot-bucket cap (the
     lsh_bucket_stats twin) — capped coverage is driver-visible, not silent."""
-    return dedup.simhash_bucket_stats(_docs(spark, sf_dir), bits=SIMHASH_PAIRS_BITS)
+    return dedup.simhash_bucket_stats(_docs_f(spark, sf_dir), bits=SIMHASH_PAIRS_BITS)
 
 
 def _oracle_simhash_bucket_stats(
@@ -2089,7 +2135,7 @@ ORDER BY vec_id
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH-bucket candidates (never
     all-pairs), exact cosine >= 0.35 confirms; hot buckets capped."""
-    return similarity.cosine_dup_pairs(_emb(spark, sf_dir))
+    return similarity.cosine_dup_pairs(_emb_f(spark, sf_dir))
 
 
 def _oracle_dedup_embedding(
@@ -2474,7 +2520,7 @@ def q_line_dedup(spark, sf_dir):
     and the oracle computes the identical digest (r4 verdict #4)."""
     from ocr_table_extractor_to_csv_spark.operators.dedup import line_dedup
 
-    return line_dedup(_docs(spark, sf_dir))
+    return line_dedup(_docs_f(spark, sf_dir))
 
 
 ORACLE_LINE_DEDUP = f"""
@@ -2512,7 +2558,7 @@ def q_line_dedup_clean(spark, sf_dir):
     The value check covers the full rebuilt text, not just counts."""
     from ocr_table_extractor_to_csv_spark.operators.dedup import line_dedup_clean
 
-    return line_dedup_clean(_docs(spark, sf_dir))
+    return line_dedup_clean(_docs_f(spark, sf_dir))
 
 
 ORACLE_LINE_DEDUP_CLEAN = f"""
@@ -2562,7 +2608,7 @@ def q_line_dedup_within(spark, sf_dir):
         line_dedup_within_page,
     )
 
-    return line_dedup_within_page(_docs(spark, sf_dir))
+    return line_dedup_within_page(_docs_f(spark, sf_dir))
 
 
 # the oracle keeps first occurrences with an order-EXPLICIT first-index
@@ -2634,7 +2680,7 @@ def _diff_snapshots(spark, sf_dir):
     curate_incremental: OLD drops doc_id%10==0, NEW drops doc_id%10==1
     and revises the text of doc_id%7==0 — added/removed/changed/unchanged
     all exercised, all independently derivable in SQL."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_f(spark, sf_dir)
     old = docs.where(F.col("doc_id") % 10 != 0)
     new = docs.where(F.col("doc_id") % 10 != 1).select(
         "doc_id",
@@ -2708,7 +2754,7 @@ def q_bpe_train(spark, sf_dir):
     never touching the corpus again after pass 1."""
     from ocr_table_extractor_to_csv_spark.operators.bpe import bpe_train
 
-    return bpe_train(_docs(spark, sf_dir))
+    return bpe_train(_docs_f(spark, sf_dir))
 
 
 def _oracle_bpe_train(n_merges: int = 6, top_words: int = 5000) -> str:
@@ -2763,7 +2809,7 @@ def q_token_count_trained(spark, sf_dir):
     closing the train -> encode -> budget loop."""
     from ocr_table_extractor_to_csv_spark.operators.bpe import token_count_trained
 
-    return token_count_trained(_docs(spark, sf_dir))
+    return token_count_trained(_docs_f(spark, sf_dir))
 
 
 def _oracle_token_count_trained(n_merges: int = 6, top_words: int = 5000) -> str:
@@ -2911,7 +2957,7 @@ def q_substring_dedup(spark, sf_dir):
     pair has low doc-level Jaccard but still shares anchors (Lee et al.
     2022's suffix-array target, re-expressed as Spark-shaped anchor
     sampling; shared skew-safe hot-anchor cap)."""
-    return dedup.substring_dedup_pairs(_docs(spark, sf_dir)).orderBy(
+    return dedup.substring_dedup_pairs(_docs_f(spark, sf_dir)).orderBy(
         "id_a", "id_b"
     )
 
@@ -2953,7 +2999,7 @@ def q_quality_classifier(spark, sf_dir):
     exact integers and the cross-multiplied rate votes are identically
     rounded doubles on both engines, so the oracle replays the full
     train+score round trip row for row."""
-    return textstats.quality_classifier(_docs(spark, sf_dir))
+    return textstats.quality_classifier(_docs_f(spark, sf_dir))
 
 
 ORACLE_QUALITY_CLASSIFIER = f"""
@@ -3254,7 +3300,7 @@ def q_kmv_distinct(spark, sf_dir):
     60-bit shingle hashes -> integer estimator, deterministic and
     mergeable (vs approx_count_distinct's engine-private HLL).  One
     map-side-partial distinct + the domain_cap salted min-k."""
-    return sketches.kmv_distinct(_docs(spark, sf_dir))
+    return sketches.kmv_distinct(_docs_f(spark, sf_dir))
 
 
 def _oracle_kmv_distinct() -> str:

@@ -144,7 +144,13 @@ def lsh_bands(
     documents: DataFrame, n: int = 3, k: int = N_MINHASH, band_size: int = BAND_SIZE
 ) -> DataFrame:
     """(doc_id, band, bkey) — one row per (doc, band)."""
-    sig = minhash_signatures(documents, n, k)
+    return _bands_of_sigs(minhash_signatures(documents, n, k), k, band_size)
+
+
+def _bands_of_sigs(sig: DataFrame, k: int, band_size: int) -> DataFrame:
+    """Band projection over an existing (doc_id, m0..m{k-1}) signature
+    frame — split out of ``lsh_bands`` so ``minhash_lsh_pairs`` can pin
+    the signatures once and derive every band reference from the pin."""
     n_bands = k // band_size
     band_cols = []
     for b in range(n_bands):
@@ -221,8 +227,16 @@ def minhash_lsh_pairs(
     what the cap dropped.  The DuckDB oracle mirrors the cap.  The cap
     itself is the shared skew-safe ``cap_hot_buckets`` (see its docstring
     for the groupBy-vs-window rationale).
+
+    Persist note (r7, interleaved A/B): persisting the signature frame to
+    avoid the four lazy references (cap count side, cap join-back, pair
+    sides a/b) was measured ~2x SLOWER at sf0.1 — ReuseExchange already
+    dedupes the identical band subtrees behind one shuffle, so the pin
+    only added a materialization job + cache traffic.  The recompute-free
+    shape is the Exchange reuse, not a cache.
     """
-    bands = cap_hot_buckets(lsh_bands(documents, n, k, band_size),
+    bands = cap_hot_buckets(_bands_of_sigs(minhash_signatures(documents, n, k),
+                                           k, band_size),
                             ["band", "bkey"], max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -443,10 +457,18 @@ def simhash_bands(
     the key identical under arithmetic or logical shift semantics, so the
     sign bit of a 64-bit hash needs no special-casing in either engine.
     """
+    return _bands_of_simhash(simhash(documents, bits), max_hamming, bits)
+
+
+def _bands_of_simhash(
+    sh: DataFrame, max_hamming: int, bits: int
+) -> DataFrame:
+    """Pigeonhole band projection over an existing (doc_id, simhash)
+    frame — split out of ``simhash_bands`` so ``simhash_pairs`` can pin
+    the hashes once and derive every band reference from the pin."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sh = simhash(documents, bits)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -506,9 +528,13 @@ def simhash_pairs(
     agree across engines).
 
     The cap is the shared skew-safe ``cap_hot_buckets`` (groupBy +
-    join-back, never a window over the hot bucket key).
+    join-back, never a window over the hot bucket key).  Persist note:
+    same interleaved-A/B result as minhash_lsh_pairs — pinning the
+    (doc_id, simhash) frame measured ~1.8x slower than letting
+    ReuseExchange dedupe the band subtrees.
     """
-    bands = cap_hot_buckets(simhash_bands(documents, max_hamming, bits),
+    bands = cap_hot_buckets(_bands_of_simhash(simhash(documents, bits),
+                                              max_hamming, bits),
                             ["band", "bkey"], max_bucket)
     a = bands.alias("a")
     b2 = bands.alias("b")

@@ -85,16 +85,27 @@ def pagerank(
     ``damping_num``/``damping_den``/``scale``/``iterations`` must be
     Python ints (asserted) — they are inlined into column expressions.
 
-    Cache lifecycle: the edge/node tables and the RETURNED rank frame stay
-    persisted (the loop's plan references them once per iteration, so
-    dropping the cache early would recompute the edge aggregation per
-    iteration inside the final job).  Callers running many graphs in one
-    session should ``.unpersist()`` the result after materializing it;
-    intermediate iterations are already unpersisted as the loop advances.
+    Cache lifecycle (r6 advice #1): the edge/node tables and the RETURNED
+    rank frame stay persisted (the loop's plan references them once per
+    iteration, so dropping the cache early would recompute the edge
+    aggregation per iteration inside the final job) — but they are now
+    TRACKED in ``pagerank.last_caches`` and each new call unpersists the
+    previous call's entries first (best-effort; a frame may belong to a
+    stopped session), so repeated graphs in one session retain at most
+    one graph's executor storage.  Callers wanting the memory back sooner
+    unpersist ``pagerank.last_caches`` themselves after materializing the
+    result; intermediate iterations are already unpersisted as the loop
+    advances.
     """
     for v in (iterations, damping_num, damping_den, scale):
         if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
             raise ValueError("pagerank parameters must be positive ints")
+    for cached in getattr(pagerank, "last_caches", []):
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
+    pagerank.last_caches = []
     ew = edges.groupBy("src", "dst").agg(F.count("*").cast("long").alias("w"))
     outw = ew.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
     nodes = (
@@ -104,6 +115,7 @@ def pagerank(
     )
     ew_out = ew.join(outw, "src").persist()
     nodes = nodes.persist()
+    pagerank.last_caches = [ew_out, nodes]
     n = nodes.count()  # the loop's only driver scalar
     if n == 0:
         raise ValueError("pagerank: empty edge list (no nodes)")
@@ -134,4 +146,5 @@ def pagerank(
         if prev is not None:
             prev.unpersist()
         prev = ranks
+    pagerank.last_caches.append(ranks)
     return ranks

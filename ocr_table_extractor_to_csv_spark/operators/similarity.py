@@ -677,7 +677,16 @@ def lsh_bands_multi(
     dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """(vec_id, table, bucket) band list from the single-pass sketch."""
-    sk = multi_table_sketch(embeddings, n_planes, n_tables, dim)
+    return _bands_of_sketch(
+        multi_table_sketch(embeddings, n_planes, n_tables, dim), n_tables
+    )
+
+
+def _bands_of_sketch(sk: DataFrame, n_tables: int) -> DataFrame:
+    """Band explode over an existing (vec_id, b0..b{n_tables-1}) sketch
+    frame — split out so callers that reference the band list from several
+    plan branches can pin the sketch once (the 48 literal-weight
+    projections under it are the expensive part)."""
     return sk.select(
         "vec_id",
         F.explode(
@@ -707,7 +716,13 @@ def cosine_dup_pairs(
     cap is the shared skew-safe ``dedup.cap_hot_buckets`` — groupBy +
     join-back, never a window over the hot bucket key).  Missed duplicates
     are the LSH recall tradeoff; raise n_tables to trade compute for
-    recall."""
+    recall.
+
+    Persist note (r7, interleaved A/B): pinning the sketch frame to avoid
+    the four lazy band references measured ~1.4x SLOWER at sf0.1 —
+    ReuseExchange dedupes the identical band subtrees behind one shuffle,
+    so the hyperplane projections run once per distinct exchange, not
+    once per reference."""
     from .dedup import cap_hot_buckets
 
     bands = cap_hot_buckets(

@@ -481,12 +481,21 @@ def _qc_token_rows(
     documents: DataFrame, n_buckets: int, threshold: float
 ) -> DataFrame:
     """(doc_id, label, tok, bucket) — the shared labeled token stream of
-    the quality classifier (one spec for training and scoring)."""
+    the quality classifier (one spec for training and scoring).
+
+    The label is projected in its OWN select BELOW the explode: a generator
+    select keeps sibling expressions in the Project ABOVE the Generate, so
+    the (higher-order-function-heavy) quality expression would be
+    re-evaluated once per TOKEN row instead of once per document — measured
+    16x slower at sf0.1 (guide §1.2 "per-task work"; values identical)."""
     q = quality_columns(F.col("text"))
-    return documents.select(
+    labeled = documents.select(
         "doc_id",
         (q["quality_score"] >= F.lit(threshold)).cast("int").alias("label"),
-        F.explode(tokens_col(F.col("text"))).alias("tok"),
+        tokens_col(F.col("text")).alias("_toks"),
+    )
+    return labeled.select(
+        "doc_id", "label", F.explode("_toks").alias("tok")
     ).withColumn(
         "bucket",
         F.pmod(

@@ -65,6 +65,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default="CORRECTNESS_SELF.json")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of query names (default: all)")
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -78,6 +80,8 @@ def main() -> None:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     queries = entry_mod.queries()
+    if args.only:
+        queries = {k: v for k, v in queries.items() if k in set(args.only)}
     oracles = entry_mod.oracle_sql()
     report: dict = {}
     for name, q in queries.items():
