@@ -1425,7 +1425,7 @@ def q_bloom_dedup(spark, sf_dir):
     in SQL equals the bitmap test, false positives included."""
     from ocr_table_extractor_to_csv_spark.operators.dedup import bloom_dedup
 
-    docs = _docs_f(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
     donor = docs.select(
         (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_donor")
     )

@@ -8,11 +8,10 @@ Shape (what makes this scale):
     size is bounded by ``top_words`` (a deterministic freq-desc/word-asc
     cap, which is also how reference BPE trainers bound their alphabet) —
     at 100 TB the vocab table is a few MB regardless of corpus bytes;
-  * each merge iteration is one pair-count aggregation over the vocab
-    (explode adjacent pairs weighted by word frequency, map-side partial
-    sums) + a ONE-ROW collect (the argmax pair) + a map-only merge
-    rewrite — k iterations = k small shuffles over the bounded vocab,
-    never the corpus;
+  * the bounded vocab is collected ONCE and the k merge iterations run on
+    the driver (pair counting weighted by word frequency + the argmax +
+    the merge rewrite over <= top_words strings — the same bounded-collect
+    class as the IVF trainer); the corpus is never touched again;
   * the merge rewrite is a literal ``replace`` over a DOUBLE-space
     delimited symbol string: symbols are framed as ``'  s1  s2  ...  '``
     and the pair (l, r) rewrites ``' l  r '`` -> ``' lr '``.  Each match
@@ -85,58 +84,46 @@ def bpe_train(
     ``pair_count`` is the frequency-weighted number of adjacent
     occurrences of the winning pair at the time it was chosen (counting
     every occurrence within a word, as reference BPE does).
+
+    r7: the merge loop runs ON THE DRIVER over the collected vocabulary.
+    The vocab is bounded by ``top_words`` REGARDLESS of corpus size (the
+    same bounded-collect class as the IVF trainer's 1,024-row sample), so
+    the corpus still gets exactly one distributed pass (``word_freqs``)
+    while the k merge iterations cost zero Spark jobs instead of
+    2k jobs + 2k cache swaps over a 5,000-row table (measured: the loop's
+    scheduling overhead dominated the whole operator at sf0.1).  The
+    driver-side replay is spec-identical by construction: Python
+    ``str.replace`` and Spark ``replace`` both rewrite left-to-right
+    non-overlapping; Python string comparison (code points) and Spark's
+    binary collation order identically because UTF-8 byte order preserves
+    code-point order; ``strip(' ')`` mirrors Spark ``trim`` (ASCII space
+    only — tokens may legally contain non-ASCII spaces).
     """
     spark = documents.sparkSession
-    vocab = word_freqs(documents, top_words).select(
-        _spaced_col(F.col("word")).alias("spaced"), "freq"
-    )
-    # the vocab is re-read once per iteration; persist the bounded table
-    # (a few MB at any corpus size) and swap the persisted frame per merge
-    vocab = vocab.persist()
-
-    syms = F.split(F.trim(F.col("spaced")), "  ")
-    n = F.size(syms)
-    pair_arr = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(syms, 1, n - 1),
-            F.slice(syms, 2, n - 1),
-            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-        ),
-    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    # '  c1  c2  ...  ' framing, the exact _spaced_col spec (Spark
+    # substring iterates code points, as Python iteration does)
+    vocab = [
+        ("  " + "  ".join(r.word) + "  ", int(r.freq))
+        for r in word_freqs(documents, top_words).collect()
+    ]
 
     merges = []
-    try:
-        for rank in range(1, n_merges + 1):
-            best = (
-                vocab.select(F.explode(pair_arr).alias("p"), "freq")
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break  # vocabulary fully merged (tiny corpora)
-            l, r, cnt = best[0].l, best[0].r, best[0].cnt
-            merges.append((rank, l, r, cnt))
-            # literal-column replace (never string-built SQL: symbols come
-            # from corpus text and may contain quotes)
-            nxt = vocab.select(
-                F.replace(
-                    F.col("spaced"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
-                ).alias("spaced"),
-                "freq",
-            ).persist()
-            try:
-                nxt.count()  # materialize before dropping the parent cache
-            except Exception:
-                nxt.unpersist()  # never leak the half-built cache entry
-                raise
-            vocab.unpersist()
-            vocab = nxt
-    finally:
-        vocab.unpersist()
+    for rank in range(1, n_merges + 1):
+        counts: dict = {}
+        for spaced, freq in vocab:
+            syms = spaced.strip(" ").split("  ")
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break  # vocabulary fully merged (tiny corpora)
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, cnt))
+        vocab = [
+            (spaced.replace(f" {l}  {r} ", f" {l}{r} "), freq)
+            for spaced, freq in vocab
+        ]
 
     return spark.createDataFrame(
         merges, "rank int, left_sym string, right_sym string, pair_count long"

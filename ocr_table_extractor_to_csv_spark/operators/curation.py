@@ -453,16 +453,28 @@ def curate_pipeline(
         & F.col("lang_pred").isin(list(langs))
     )
 
-    clean = (
-        decontaminate(base, eval_mod=eval_mod, n=n, threshold=threshold)
-        .where(~F.col("contaminated"))
-        .select("doc_id")
-    )
-    keepers = (
-        dedup_clusters(base, checkpoint_dir=checkpoint_dir)
-        .where(F.col("is_keeper"))
-        .select("doc_id")
-    )
+    # The decontaminate branch (its eval-shingle count) and the keeper
+    # branch (the CC label iterations) each run BLOCKING driver actions at
+    # build time, and neither depends on the other — overlap them in two
+    # driver threads so the CC loop's per-iteration driver syncs back-fill
+    # with the eval-side jobs instead of serializing after them (guide
+    # §2.6: actions are only sequential because the driver calls them
+    # sequentially).  Both threads read the SAME persisted ``base``; cache
+    # partition computation is per-partition-locked in Spark, so the
+    # overlap is safe.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_clean = pool.submit(
+            decontaminate, base, eval_mod=eval_mod, n=n, threshold=threshold
+        )
+        f_keepers = pool.submit(
+            dedup_clusters, base, checkpoint_dir=checkpoint_dir
+        )
+        clean = f_clean.result().where(~F.col("contaminated")).select("doc_id")
+        keepers = (
+            f_keepers.result().where(F.col("is_keeper")).select("doc_id")
+        )
     survivors = scored.join(clean, "doc_id").join(keepers, "doc_id")
 
     shard = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard")
