@@ -89,6 +89,10 @@ def _emb_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fan(_emb(spark, sf_dir), spark, sf_dir, "embeddings")
 
 
+def _events_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fan(_events(spark, sf_dir), spark, sf_dir, "events")
+
+
 # ---------------------------------------------------------------------------
 # Extraction queries
 # ---------------------------------------------------------------------------
@@ -773,7 +777,7 @@ ORACLE_TOKEN_COUNT_BPE = (
 
 
 def q_text_quality(spark, sf_dir):
-    return textstats.text_quality(_docs(spark, sf_dir))
+    return textstats.text_quality(_docs_f(spark, sf_dir))
 
 
 _EN = ",".join(f"'{w}'" for w in textstats.STOPWORDS["en"])
@@ -797,7 +801,7 @@ FROM t
 
 
 def q_lang_id(spark, sf_dir):
-    return textstats.lang_id(_docs(spark, sf_dir))
+    return textstats.lang_id(_docs_f(spark, sf_dir))
 
 
 def _oracle_lang_id() -> str:
@@ -848,7 +852,7 @@ def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary statistics: top-100 tokens by term frequency with
     document frequency alongside (tie rule tf DESC, token ASC makes the
     k-boundary deterministic)."""
-    return textstats.vocab_topk(_docs(spark, sf_dir))
+    return textstats.vocab_topk(_docs_f(spark, sf_dir))
 
 
 ORACLE_VOCAB_TOPK = f"""
@@ -868,7 +872,7 @@ SEARCH_TERMS = ("data", "join", "scan", "vector")
 def q_search_topk(spark, sf_dir):
     """Keyword search scoring over the corpus (rational-idf variant; see
     textstats.search_topk for why not ln)."""
-    return textstats.search_topk(_docs(spark, sf_dir), SEARCH_TERMS)
+    return textstats.search_topk(_docs_f(spark, sf_dir), SEARCH_TERMS)
 
 
 def _oracle_search_topk(k: int = 20) -> str:
@@ -898,7 +902,7 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 
 
 def q_pii_scrub(spark, sf_dir):
-    docs = _docs(spark, sf_dir).select("doc_id", _PII_SUFFIX_SPARK().alias("text"))
+    docs = _docs_f(spark, sf_dir).select("doc_id", _PII_SUFFIX_SPARK().alias("text"))
     return textstats.pii_scrub(docs)
 
 
@@ -933,7 +937,7 @@ FROM s2
 
 
 def q_repetition_stats(spark, sf_dir):
-    return textstats.repetition_stats(_docs(spark, sf_dir))
+    return textstats.repetition_stats(_docs_f(spark, sf_dir))
 
 
 def _oracle_repetition() -> str:
@@ -975,7 +979,7 @@ LEFT JOIN bg ON bg.doc_id = d.doc_id
 
 
 def q_source_stats(spark, sf_dir):
-    return textstats.source_stats(_docs(spark, sf_dir))
+    return textstats.source_stats(_docs_f(spark, sf_dir))
 
 
 ORACLE_SOURCE_STATS = f"""
@@ -1013,7 +1017,7 @@ def q_mix_plan(spark, sf_dir):
     weights but NOT in the corpus: it must surface with available 0 and
     a visibly unmeetable target (r6, the r5 advice fix), never vanish."""
     return textstats.mix_plan(
-        _docs(spark, sf_dir), budget_tokens=MIX_BUDGET, weights=MIX_WEIGHTS
+        _docs_f(spark, sf_dir), budget_tokens=MIX_BUDGET, weights=MIX_WEIGHTS
     )
 
 
@@ -1063,7 +1067,7 @@ def q_mix_sample(spark, sf_dir):
     target per source.  The plan broadcasts; the doc side never
     shuffles."""
     return textstats.mix_sample(
-        _docs(spark, sf_dir), budget_tokens=MIX_BUDGET, weights=MIX_WEIGHTS
+        _docs_f(spark, sf_dir), budget_tokens=MIX_BUDGET, weights=MIX_WEIGHTS
     )
 
 
@@ -1395,7 +1399,7 @@ _SHINGLES_SQL = f"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return dedup.ngram_jaccard_pairs(_docs_f(spark, sf_dir))
 
 
 ORACLE_NGRAM_JACCARD = f"""
@@ -1957,7 +1961,7 @@ def q_cluster_stats(spark, sf_dir):
     ppm share — the observability row a mix planner reads to catch topic
     collapse.  Assignment is one scan of pure column expressions; stats
     are one groupBy + a single-row broadcast total."""
-    return similarity.cluster_stats(_emb(spark, sf_dir))
+    return similarity.cluster_stats(_emb_f(spark, sf_dir))
 
 
 def _oracle_cluster_stats(
@@ -2093,7 +2097,7 @@ def q_embedding_quantize(spark, sf_dir):
     gate's pandas canonicalizer cannot sort list-valued cells (the r5
     red row), and a serialized column carries identical information.
     Library callers use ``quantize_embeddings`` directly for the array."""
-    df = similarity.quantize_embeddings(_emb(spark, sf_dir))
+    df = similarity.quantize_embeddings(_emb_f(spark, sf_dir))
     return df.select(
         "vec_id",
         "scale",
@@ -2462,7 +2466,7 @@ def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: events.props is a JSON column (the
     universal web-pipeline shape); get_json_object pulls $.k JVM-side and
     integer-only aggregates keep the rollup order-independent-exact."""
-    ev = _events(spark, sf_dir)
+    ev = _events_f(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -2870,7 +2874,7 @@ def q_url_dedup(spark, sf_dir):
         with_synth_url,
     )
 
-    return url_dedup(with_synth_url(_docs(spark, sf_dir)))
+    return url_dedup(with_synth_url(_docs_f(spark, sf_dir)))
 
 
 # the synth-URL + canonicalization chain (DuckDB twin of weburl.with_synth_url
@@ -3078,7 +3082,7 @@ def q_gopher_rules(spark, sf_dir):
     gate in the curation ladder.  Flags cast to INT for the gate
     canonicalizer (no boolean output precedent; same caution as the r5
     array lesson)."""
-    g = textstats.gopher_rules(_docs(spark, sf_dir))
+    g = textstats.gopher_rules(_docs_f(spark, sf_dir))
     keep = [c for c in g.columns if c not in _GATE_FLAGS]
     return g.select(
         *keep, *[F.col(c).cast("int").alias(c) for c in _GATE_FLAGS]
@@ -3154,7 +3158,7 @@ def q_url_filter(spark, sf_dir):
     )
 
     out = url_filter(
-        with_synth_url(_docs(spark, sf_dir)),
+        with_synth_url(_docs_f(spark, sf_dir)),
         blocklist_hosts=_URLF_BLOCKLIST,
         max_params=1,
         max_path_depth=8,
@@ -3213,7 +3217,7 @@ def q_domain_cap(spark, sf_dir):
     )
 
     return domain_cap(
-        with_synth_url(_docs(spark, sf_dir)), cap=10, salt_mod=4
+        with_synth_url(_docs_f(spark, sf_dir)), cap=10, salt_mod=4
     )
 
 
@@ -3275,7 +3279,7 @@ def q_normalize_text(spark, sf_dir):
     whitespace/blank-line runs, trim.  Map-only, zero shuffle — runs
     between extraction and fingerprinting so dedup sees one spelling of
     each page.  `changed` cast to INT (gate-canonicalizer convention)."""
-    docs = _docs(spark, sf_dir).withColumn("text", _NORM_NOISE_SPARK())
+    docs = _docs_f(spark, sf_dir).withColumn("text", _NORM_NOISE_SPARK())
     return textstats.normalize_text(docs).withColumn(
         "changed", F.col("changed").cast("int")
     )

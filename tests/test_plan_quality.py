@@ -256,7 +256,11 @@ def test_pii_and_sampling_jvm_only_single_scan(spark):
         df = entry_mod.queries()[name](spark, "/root/testdata/sf0.001")
         plan = _formatted(spark, df)
         assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1, name
-        assert "Exchange" not in plan, name
+        # r7: the scale-adaptive fan-out (__spark_entry__._fan) may add a
+        # round-robin exchange on tiny inputs (identity at scale); the
+        # map-only contract forbids KEYED shuffles — hash or range —
+        # which is what would break at 100 TB.
+        assert "hashpartitioning" not in plan and "rangepartitioning" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
