@@ -852,7 +852,7 @@ def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary statistics: top-100 tokens by term frequency with
     document frequency alongside (tie rule tf DESC, token ASC makes the
     k-boundary deterministic)."""
-    return textstats.vocab_topk(_docs_f(spark, sf_dir))
+    return textstats.vocab_topk(_docs(spark, sf_dir))
 
 
 ORACLE_VOCAB_TOPK = f"""
@@ -872,7 +872,7 @@ SEARCH_TERMS = ("data", "join", "scan", "vector")
 def q_search_topk(spark, sf_dir):
     """Keyword search scoring over the corpus (rational-idf variant; see
     textstats.search_topk for why not ln)."""
-    return textstats.search_topk(_docs_f(spark, sf_dir), SEARCH_TERMS)
+    return textstats.search_topk(_docs(spark, sf_dir), SEARCH_TERMS)
 
 
 def _oracle_search_topk(k: int = 20) -> str:
@@ -979,7 +979,7 @@ LEFT JOIN bg ON bg.doc_id = d.doc_id
 
 
 def q_source_stats(spark, sf_dir):
-    return textstats.source_stats(_docs_f(spark, sf_dir))
+    return textstats.source_stats(_docs(spark, sf_dir))
 
 
 ORACLE_SOURCE_STATS = f"""
@@ -1017,7 +1017,7 @@ def q_mix_plan(spark, sf_dir):
     weights but NOT in the corpus: it must surface with available 0 and
     a visibly unmeetable target (r6, the r5 advice fix), never vanish."""
     return textstats.mix_plan(
-        _docs_f(spark, sf_dir), budget_tokens=MIX_BUDGET, weights=MIX_WEIGHTS
+        _docs(spark, sf_dir), budget_tokens=MIX_BUDGET, weights=MIX_WEIGHTS
     )
 
 
@@ -1399,7 +1399,7 @@ _SHINGLES_SQL = f"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs_f(spark, sf_dir))
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
 ORACLE_NGRAM_JACCARD = f"""
@@ -1961,7 +1961,7 @@ def q_cluster_stats(spark, sf_dir):
     ppm share — the observability row a mix planner reads to catch topic
     collapse.  Assignment is one scan of pure column expressions; stats
     are one groupBy + a single-row broadcast total."""
-    return similarity.cluster_stats(_emb_f(spark, sf_dir))
+    return similarity.cluster_stats(_emb(spark, sf_dir))
 
 
 def _oracle_cluster_stats(
@@ -2097,7 +2097,7 @@ def q_embedding_quantize(spark, sf_dir):
     gate's pandas canonicalizer cannot sort list-valued cells (the r5
     red row), and a serialized column carries identical information.
     Library callers use ``quantize_embeddings`` directly for the array."""
-    df = similarity.quantize_embeddings(_emb_f(spark, sf_dir))
+    df = similarity.quantize_embeddings(_emb(spark, sf_dir))
     return df.select(
         "vec_id",
         "scale",
@@ -2466,7 +2466,7 @@ def q_json_props_stats(spark, sf_dir):
     """Semi-structured extraction: events.props is a JSON column (the
     universal web-pipeline shape); get_json_object pulls $.k JVM-side and
     integer-only aggregates keep the rollup order-independent-exact."""
-    ev = _events_f(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -2651,7 +2651,7 @@ def q_corpus_diff(spark, sf_dir):
     exercised and independently derivable in SQL."""
     from ocr_table_extractor_to_csv_spark.operators.curation import corpus_diff
 
-    old, new = _diff_snapshots(spark, sf_dir)
+    old, new = _diff_snapshots(spark, sf_dir, fan=False)
     return corpus_diff(old, new)
 
 
@@ -2679,12 +2679,14 @@ ORDER BY doc_id
 """
 
 
-def _diff_snapshots(spark, sf_dir):
+def _diff_snapshots(spark, sf_dir, fan: bool = False):
     """The shared OLD/NEW snapshot pair used by corpus_diff AND
     curate_incremental: OLD drops doc_id%10==0, NEW drops doc_id%10==1
     and revises the text of doc_id%7==0 — added/removed/changed/unchanged
     all exercised, all independently derivable in SQL."""
-    docs = _docs_f(spark, sf_dir)
+    # fan: on for curate_incremental (scoring-heavy consumer, A/B win),
+    # off for corpus_diff (digest-only map work; the fan shuffle only cost)
+    docs = (_docs_f if fan else _docs)(spark, sf_dir)
     old = docs.where(F.col("doc_id") % 10 != 0)
     new = docs.where(F.col("doc_id") % 10 != 1).select(
         "doc_id",
@@ -2705,7 +2707,7 @@ def q_curate_incremental(spark, sf_dir):
         curate_incremental,
     )
 
-    old, new = _diff_snapshots(spark, sf_dir)
+    old, new = _diff_snapshots(spark, sf_dir, fan=True)
     return curate_incremental(old, new)
 
 
@@ -2874,7 +2876,7 @@ def q_url_dedup(spark, sf_dir):
         with_synth_url,
     )
 
-    return url_dedup(with_synth_url(_docs_f(spark, sf_dir)))
+    return url_dedup(with_synth_url(_docs(spark, sf_dir)))
 
 
 # the synth-URL + canonicalization chain (DuckDB twin of weburl.with_synth_url
@@ -3217,7 +3219,7 @@ def q_domain_cap(spark, sf_dir):
     )
 
     return domain_cap(
-        with_synth_url(_docs_f(spark, sf_dir)), cap=10, salt_mod=4
+        with_synth_url(_docs(spark, sf_dir)), cap=10, salt_mod=4
     )
 
 
